@@ -1,0 +1,411 @@
+"""Stationary kernels, composition, and the kernel factory.
+
+TPU-native rewrite of the kernel layer the reference delegates to gpytorch
+(projected_lmc.py:26-35 SplineKernel, :107-181 handle_covar_). All kernels are
+batched over a leading ``n_funcs`` dimension (tasks or latents) and evaluate as
+dense tiles through MXU-friendly matmul expansions of the pairwise distance:
+``|x-y|² = |x|² + |y|² - 2<x,y>`` with HIGHEST-precision matmuls, which XLA maps
+onto the systolic array. Every kernel returns shape ``(n_funcs, n, m)``
+(or ``(n_funcs, n)`` with ``diag=True``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .module import Module
+from . import constraints
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _sqdist(x1, x2):
+    """Batched pairwise squared distances (..., n, d), (..., m, d) -> (..., n, m)."""
+    n1 = jnp.sum(x1 * x1, axis=-1)
+    n2 = jnp.sum(x2 * x2, axis=-1)
+    cross = jnp.matmul(x1, jnp.swapaxes(x2, -1, -2), precision=_HIGHEST)
+    d2 = n1[..., :, None] + n2[..., None, :] - 2.0 * cross
+    return jnp.maximum(d2, 0.0)
+
+
+class Prior:
+    """Lengthscale priors (handle_covar_ registers Normal/MVN priors,
+    projected_lmc.py:143-149). Adds log_prob terms to the MLL."""
+
+    def log_prob(self, value):
+        raise NotImplementedError
+
+
+class NormalPrior(Prior):
+    def __init__(self, loc, scale):
+        self.loc = np.asarray(loc, dtype=np.float64)
+        self.scale = np.asarray(scale, dtype=np.float64)
+
+    def log_prob(self, value):
+        loc = jnp.asarray(self.loc, value.dtype)
+        scale = jnp.asarray(self.scale, value.dtype)
+        z = (value - loc) / scale
+        return jnp.sum(-0.5 * z**2 - jnp.log(scale) - 0.5 * math.log(2 * math.pi))
+
+
+class MultivariateNormalPrior(Prior):
+    """Diagonal-covariance MVN prior (reference uses diag_embed covariances)."""
+
+    def __init__(self, loc, variance_diag):
+        self.loc = np.asarray(loc, dtype=np.float64)
+        self.var = np.asarray(variance_diag, dtype=np.float64)
+
+    def log_prob(self, value):
+        loc = jnp.asarray(self.loc, value.dtype)
+        var = jnp.asarray(self.var, value.dtype)
+        z2 = (value - loc) ** 2 / var
+        return jnp.sum(-0.5 * z2 - 0.5 * jnp.log(var) - 0.5 * math.log(2 * math.pi))
+
+
+class Kernel(Module):
+    """Base kernel. Subclasses implement ``forward(x1, x2, diag)`` on
+    pre-sliced, pre-scaled inputs of shape (n_funcs, n, d)."""
+
+    has_lengthscale = False
+    is_stationary = True
+    _buffers_ = ()
+
+    def _setup(self, batch_shape=1, active_dims=None):
+        self.batch = int(batch_shape)
+        self.active_dims = tuple(active_dims) if active_dims is not None else None
+        self.lengthscale_prior = None  # Prior | None (static)
+
+    # -- public API ---------------------------------------------------------
+    def __call__(self, x1, x2=None, diag=False):
+        if x2 is None:
+            x2 = x1
+        x1 = jnp.asarray(x1)
+        x2 = jnp.asarray(x2)
+        if x1.ndim == 1:
+            x1 = x1[:, None]
+        if x2.ndim == 1:
+            x2 = x2[:, None]
+        if self.active_dims is not None:
+            idx = list(self.active_dims)
+            x1 = x1[..., idx]
+            x2 = x2[..., idx]
+        if x1.ndim == 2:
+            x1 = jnp.broadcast_to(x1[None], (self.batch,) + x1.shape)
+            x2 = jnp.broadcast_to(x2[None], (self.batch,) + x2.shape)
+        return self.forward(x1, x2, diag=diag)
+
+    @property
+    def lengthscale(self):
+        if not self.has_lengthscale:
+            raise AttributeError(f"{type(self).__name__} has no lengthscale")
+        return constraints.softplus(self.raw_lengthscale)
+
+    def set_lengthscale(self, value):
+        value = jnp.broadcast_to(jnp.asarray(value, self.raw_lengthscale.dtype),
+                                 self.raw_lengthscale.shape)
+        return self.replace(raw_lengthscale=constraints.inv_softplus(value))
+
+    def prior_log_prob(self):
+        """Sum of hyperparameter-prior log-probs (added to MLLs)."""
+        if self.has_lengthscale and self.lengthscale_prior is not None:
+            return self.lengthscale_prior.log_prob(self.lengthscale[..., 0, :])
+        return jnp.zeros(())
+
+    def sub_kernels(self):
+        return []
+
+
+class _StationaryKernel(Kernel):
+    has_lengthscale = True
+
+    def __init__(self, ard_num_dims=1, batch_shape=1, active_dims=None,
+                 lengthscale_prior=None, dtype=jnp.float32):
+        self._setup(batch_shape, active_dims)
+        d = int(ard_num_dims) if ard_num_dims else 1
+        init = constraints.inv_softplus(jnp.asarray(1.0, dtype))
+        # gpytorch shape convention: (batch, 1, d)
+        self.raw_lengthscale = jnp.full((self.batch, 1, d), init, dtype=dtype)
+        self.lengthscale_prior = lengthscale_prior
+
+    def _scaled(self, x1, x2):
+        ls = self.lengthscale  # (B, 1, d)
+        return x1 / ls, x2 / ls
+
+
+class RBFKernel(_StationaryKernel):
+    """k(x,y) = exp(-0.5 |x-y|²/l²), ARD. (gpytorch RBFKernel equivalent)"""
+
+    def forward(self, x1, x2, diag=False):
+        if diag:
+            n = min(x1.shape[-2], x2.shape[-2])
+            d2 = jnp.sum(((x1[..., :n, :] - x2[..., :n, :]) / self.lengthscale) ** 2, axis=-1)
+            return jnp.exp(-0.5 * d2)
+        a, b = self._scaled(x1, x2)
+        return jnp.exp(-0.5 * _sqdist(a, b))
+
+
+class MaternKernel(_StationaryKernel):
+    """Matern kernel, nu in {0.5, 1.5, 2.5} (gpytorch default nu=2.5).
+
+    The reference's synthetic generator and all real-data experiments use
+    ``gp.kernels.MaternKernel()`` (experiments.py:139,174)."""
+
+    def __init__(self, nu: float = 2.5, **kwargs):
+        assert nu in (0.5, 1.5, 2.5), "nu must be 0.5, 1.5 or 2.5"
+        super().__init__(**kwargs)
+        self.nu = float(nu)
+
+    def forward(self, x1, x2, diag=False):
+        if diag:
+            n = min(x1.shape[-2], x2.shape[-2])
+            d2 = jnp.sum(((x1[..., :n, :] - x2[..., :n, :]) / self.lengthscale) ** 2, axis=-1)
+        else:
+            a, b = self._scaled(x1, x2)
+            d2 = _sqdist(a, b)
+        # sqrt with a zero-safe gradient (distance of identical points)
+        eps = jnp.asarray(1e-30, d2.dtype)
+        r = jnp.sqrt(jnp.maximum(d2, eps))
+        if self.nu == 0.5:
+            return jnp.exp(-r)
+        if self.nu == 1.5:
+            c = math.sqrt(3.0) * r
+            return (1.0 + c) * jnp.exp(-c)
+        c = math.sqrt(5.0) * r
+        return (1.0 + c + (5.0 / 3.0) * d2) * jnp.exp(-c)
+
+
+class SplineKernel(Kernel):
+    """Cubic-spline kernel (projected_lmc.py:26-35): per-dim
+    1 + min·max + ½ min² (max − min/3), product over dims; the diag fast path is
+    (1 + x² + x³/3).prod, as in the reference."""
+
+    has_lengthscale = False
+
+    def __init__(self, batch_shape=1, active_dims=None, **_):
+        self._setup(batch_shape, active_dims)
+        self._dummy = jnp.zeros((0,))  # keeps the pytree non-empty
+
+    def forward(self, x1, x2, diag=False):
+        if diag:
+            n = min(x1.shape[-2], x2.shape[-2])
+            x = x1[..., :n, :]
+            return jnp.prod(1 + x**2 + x**3 / 3.0, axis=-1)
+        mins = jnp.minimum(x1[..., :, None, :], x2[..., None, :, :])
+        maxs = jnp.maximum(x1[..., :, None, :], x2[..., None, :, :])
+        oned = 1 + mins * maxs + 0.5 * mins**2 * (maxs - mins / 3.0)
+        return jnp.prod(oned, axis=-1)
+
+
+class SpectralMixtureKernel(Kernel):
+    """Spectral mixture kernel (Wilson & Adams 2013), used by the reference for
+    the bramblemet tidal experiment (realdata_experiments.py:130-140):
+
+        k(τ) = Σ_q w_q Π_d exp(-2π² τ_d² σ_qd²) cos(2π τ_d μ_qd)
+    """
+
+    has_lengthscale = False
+    is_stationary = True
+
+    def __init__(self, num_mixtures: int = 4, ard_num_dims: int = 1, batch_shape=1,
+                 active_dims=None, seed: int = 0, dtype=jnp.float32, **_):
+        self._setup(batch_shape, active_dims)
+        self.num_mixtures = int(num_mixtures)
+        d = int(ard_num_dims)
+        rng = np.random.default_rng(seed)
+        init = constraints.inv_softplus(jnp.asarray(1.0, dtype))
+        self.raw_mixture_weights = jnp.full((self.batch, self.num_mixtures), init, dtype)
+        self.raw_mixture_means = jnp.asarray(
+            constraints.inv_softplus(jnp.asarray(rng.random((self.batch, self.num_mixtures, 1, d)) + 0.1)), dtype)
+        self.raw_mixture_scales = jnp.full((self.batch, self.num_mixtures, 1, d), init, dtype)
+
+    @property
+    def mixture_weights(self):
+        return constraints.softplus(self.raw_mixture_weights)
+
+    @property
+    def mixture_means(self):
+        return constraints.softplus(self.raw_mixture_means)
+
+    @property
+    def mixture_scales(self):
+        return constraints.softplus(self.raw_mixture_scales)
+
+    def initialize_from_data(self, train_x, train_y, seed: int = 0):
+        """Heuristic init from data spacing (gpytorch initialize_from_data analog):
+        frequencies uniform below the Nyquist rate implied by the minimum input
+        spacing; inverse scales tied to the data range; weights set to y std."""
+        x = np.atleast_2d(np.asarray(train_x))
+        if x.shape[0] == 1:
+            x = x.T
+        y = np.asarray(train_y)
+        d = x.shape[-1] if self.active_dims is None else len(self.active_dims)
+        if self.active_dims is not None:
+            x = x[:, list(self.active_dims)]
+        xs = np.sort(x, axis=0)
+        diffs = np.diff(xs, axis=0)
+        min_dist = np.where(diffs > 0, diffs, np.inf).min(axis=0)
+        min_dist = np.where(np.isfinite(min_dist), min_dist, 1.0)
+        max_dist = np.maximum(xs[-1] - xs[0], 1e-6)
+        rng = np.random.default_rng(seed)
+        Q, B = self.num_mixtures, self.batch
+        means = rng.random((B, Q, 1, d)) * (0.5 / min_dist)
+        scales = np.abs(rng.standard_normal((B, Q, 1, d))) / max_dist + 1e-3
+        weights = np.full((B, Q), y.std() / Q)
+        dt = self.raw_mixture_means.dtype
+        return self.replace(
+            raw_mixture_means=constraints.inv_softplus(jnp.asarray(np.maximum(means, 1e-6), dt)),
+            raw_mixture_scales=constraints.inv_softplus(jnp.asarray(scales, dt)),
+            raw_mixture_weights=constraints.inv_softplus(jnp.asarray(np.maximum(weights, 1e-6), dt)),
+        )
+
+    def forward(self, x1, x2, diag=False):
+        if diag:
+            n = min(x1.shape[-2], x2.shape[-2])
+            tau = (x1[..., :n, :] - x2[..., :n, :])[..., None, :, :]   # (B,1,n,d)
+            exp_term = jnp.exp(-2 * math.pi**2 * tau**2 * self.mixture_scales**2)
+            cos_term = jnp.cos(2 * math.pi * tau * self.mixture_means)
+            comp = jnp.prod(exp_term * cos_term, axis=-1)              # (B,Q,n)
+            return jnp.sum(self.mixture_weights[..., None] * comp, axis=-2)
+        tau = x1[..., :, None, :] - x2[..., None, :, :]                # (B,n,m,d)
+        tau = tau[..., None, :, :, :]                                  # (B,1,n,m,d)
+        scales = self.mixture_scales[..., None, :]                     # (B,Q,1,1,d)
+        means = self.mixture_means[..., None, :]
+        exp_term = jnp.exp(-2 * math.pi**2 * tau**2 * scales**2)
+        cos_term = jnp.cos(2 * math.pi * tau * means)
+        comp = jnp.prod(exp_term * cos_term, axis=-1)                  # (B,Q,n,m)
+        return jnp.sum(self.mixture_weights[..., None, None] * comp, axis=-3)
+
+
+class ScaleKernel(Kernel):
+    """k(x,y) = s · k_base(x,y) with positive outputscale s per batch element
+    (gpytorch ScaleKernel; used by handle_covar_, projected_lmc.py:159-167)."""
+
+    def __init__(self, base_kernel: Kernel, batch_shape=None, dtype=jnp.float32):
+        b = base_kernel.batch if batch_shape is None else int(batch_shape)
+        self._setup(b, None)
+        self.base_kernel = base_kernel
+        self.raw_outputscale = jnp.full((b,), constraints.inv_softplus(jnp.asarray(1.0, dtype)), dtype)
+
+    @property
+    def has_lengthscale(self):
+        return self.base_kernel.has_lengthscale
+
+    @property
+    def outputscale(self):
+        return constraints.softplus(self.raw_outputscale)
+
+    @property
+    def lengthscale(self):
+        return self.base_kernel.lengthscale
+
+    def set_lengthscale(self, value):
+        return self.replace(base_kernel=self.base_kernel.set_lengthscale(value))
+
+    def __call__(self, x1, x2=None, diag=False):
+        k = self.base_kernel(x1, x2, diag=diag)
+        s = self.outputscale
+        return k * (s[..., None] if diag else s[..., None, None])
+
+    def forward(self, x1, x2, diag=False):  # pragma: no cover - __call__ overridden
+        raise NotImplementedError
+
+    def prior_log_prob(self):
+        return self.base_kernel.prior_log_prob()
+
+    def sub_kernels(self):
+        return [self.base_kernel]
+
+
+class AdditiveKernel(Kernel):
+    """Sum of kernels — the additive `decomp` composition
+    (projected_lmc.py:159-162: sum of ScaleKernels over variable subgroups)."""
+
+    def __init__(self, kernels):
+        self._setup(kernels[0].batch, None)
+        self.kernels = list(kernels)
+
+    def __call__(self, x1, x2=None, diag=False):
+        out = self.kernels[0](x1, x2, diag=diag)
+        for k in self.kernels[1:]:
+            out = out + k(x1, x2, diag=diag)
+        return out
+
+    def forward(self, x1, x2, diag=False):  # pragma: no cover
+        raise NotImplementedError
+
+    def prior_log_prob(self):
+        total = jnp.zeros(())
+        for k in self.kernels:
+            total = total + k.prior_log_prob()
+        return total
+
+    def sub_kernels(self):
+        return list(self.kernels)
+
+
+KERNEL_REGISTRY = {
+    "rbf": RBFKernel,
+    "matern": MaternKernel,
+    "spline": SplineKernel,
+    "spectral_mixture": SpectralMixtureKernel,
+}
+
+
+def handle_covar(kernel_type, dim: int, decomp=None, n_funcs: int = 1,
+                 prior_scales=None, prior_width=None, outputscales: bool = True,
+                 ker_kwargs=None, dtype=jnp.float32) -> Kernel:
+    """Kernel factory mirroring ``handle_covar_`` (projected_lmc.py:107-181).
+
+    Args mirror the reference: ``decomp=[[0,1],[1,2]]`` builds
+    k1(x0,x1)+k2(x1,x2) with per-subkernel outputscales; lengthscale priors are
+    Normal (1-d groups) or diagonal-MVN (multi-d groups) with mean
+    ``prior_scales`` and deviation-to-mean ratio ``prior_width``; when priors
+    are given, lengthscales are initialized at the prior mean.
+    """
+    if ker_kwargs is None:
+        ker_kwargs = {}
+    if isinstance(kernel_type, str):
+        kernel_type = KERNEL_REGISTRY[kernel_type]
+    if decomp is None:
+        decomp = [list(range(dim))]
+    decomp = [list(g) for g in decomp]
+
+    priors = [None] * len(decomp)
+    scales_per_ker = None
+    if prior_scales is not None:
+        if prior_width is None:
+            raise ValueError("A prior width should be provided if a prior mean is")
+        ps = prior_scales if isinstance(prior_scales, list) else \
+            [np.asarray(prior_scales)[g] for g in decomp]
+        pw = prior_width if isinstance(prior_width, list) else \
+            [np.asarray(prior_width)[g] for g in decomp]
+        scales_per_ker = ps
+        for i, g in enumerate(decomp):
+            loc = np.atleast_1d(np.asarray(ps[i], np.float64))
+            width = np.atleast_1d(np.asarray(pw[i], np.float64))
+            if len(g) > 1:
+                priors[i] = MultivariateNormalPrior(loc, (loc * width))
+            else:
+                priors[i] = NormalPrior(loc, loc * width)
+
+    kernels = []
+    for i, g in enumerate(decomp):
+        kwargs = dict(ard_num_dims=len(g), active_dims=g, batch_shape=n_funcs,
+                      dtype=dtype, **ker_kwargs)
+        ker = kernel_type(**kwargs)
+        if ker.has_lengthscale:
+            ker.lengthscale_prior = priors[i]
+            if scales_per_ker is not None:
+                ker = ker.set_lengthscale(
+                    jnp.asarray(np.atleast_1d(scales_per_ker[i]), dtype))
+        kernels.append(ker)
+
+    if len(decomp) > 1:
+        return AdditiveKernel([ScaleKernel(k, dtype=dtype) for k in kernels])
+    if outputscales:
+        return ScaleKernel(kernels[0], dtype=dtype)
+    return kernels[0]

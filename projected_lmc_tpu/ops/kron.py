@@ -1,0 +1,118 @@
+"""Kronecker joint-diagonalization solvers for exact ICM.
+
+The ICM covariance is K ⊗ B + I_n ⊗ Σt (task-interleaved layout, as in
+gpytorch's MultitaskMultivariateNormal). gpytorch evaluates its MLL either by
+CG+Lanczos or by symeig of the Kronecker factors; here we always use the exact
+joint diagonalization — two small eigendecompositions (n×n and t×t) replace any
+O((nt)³) factorization:
+
+    K ⊗ B + I ⊗ Σt = (I⊗Rt)(U⊗V)(Λ⊗Γ + I)(U⊗V)ᵀ(I⊗Rt)ᵀ
+
+with Σt = Rt Rtᵀ, K = U Λ Uᵀ, Rt⁻¹ B Rt⁻ᵀ = V Γ Vᵀ. Everything else is MXU
+matmuls. This is also the machinery behind ``MultitaskGPModel.compute_var``
+(projected_lmc.py:591-640), implemented here without the psutil/VRAM probing —
+batching is a static chunk size chosen at trace time.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .cholesky import safe_cholesky, solve_triangular, logdet_from_chol, symmetrize
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HIGHEST)
+
+
+def icm_eig_factors(K, B, Sigma_t, jitter: float = 1e-8):
+    """Joint diagonalization factors of K ⊗ B + I ⊗ Σt.
+
+    Returns dict with Rt (chol Σt), U, lam (eig K), V, gam (eig of whitened B),
+    and S = lam⊗gam + 1 as an (n, t) grid.
+    """
+    n = K.shape[-1]
+    t = B.shape[-1]
+    Rt = safe_cholesky(Sigma_t)
+    # B_tilde = Rt^{-1} B Rt^{-T}
+    tmp = solve_triangular(Rt, B, lower=True)
+    B_tilde = solve_triangular(Rt, tmp.T, lower=True).T
+    gam, V = jnp.linalg.eigh(symmetrize(B_tilde))
+    Kj = K + jitter * jnp.eye(n, dtype=K.dtype)
+    lam, U = jnp.linalg.eigh(symmetrize(Kj))
+    S = lam[:, None] * gam[None, :] + 1.0
+    return dict(Rt=Rt, U=U, lam=lam, V=V, gam=gam, S=S)
+
+
+def icm_whiten(Y, fac):
+    """Z = (U⊗V)ᵀ (I⊗Rt)⁻¹ vec(Y)  computed as Uᵀ (Y Rt⁻ᵀ) V, for Y (n, t)."""
+    W = solve_triangular(fac["Rt"], Y.T, lower=True).T     # Y Rt^{-T}
+    return _mm(_mm(fac["U"].T, W), fac["V"])
+
+
+def icm_log_prob(K, B, Sigma_t, Ydelta, jitter: float = 1e-8):
+    """log N(vec(Y); 0, K⊗B + I⊗Σt). Exact, O(n³ + t³ + n²t + nt²)."""
+    n, t = Ydelta.shape
+    fac = icm_eig_factors(K, B, Sigma_t, jitter)
+    Z = icm_whiten(Ydelta, fac)
+    quad = jnp.sum(Z * Z / fac["S"])
+    logdet = n * logdet_from_chol(fac["Rt"]) + jnp.sum(jnp.log(fac["S"]))
+    return -0.5 * (quad + logdet + n * t * math.log(2 * math.pi))
+
+
+def icm_solve(Ydelta, fac):
+    """α with vec(α) = (K⊗B + I⊗Σt)⁻¹ vec(Y); α has shape (n, t)."""
+    Z = icm_whiten(Ydelta, fac)
+    Zt = Z / fac["S"]
+    A = _mm(_mm(fac["U"], Zt), fac["V"].T)
+    # (I ⊗ Rt^{-T}): right-multiply by Rt^{-1}: solve Rtᵀ Xᵀ = Aᵀ
+    return solve_triangular(fac["Rt"].T, A.T, lower=False).T
+
+
+def icm_posterior_mean(K_star, B, alpha, mean_star):
+    """Posterior mean (n*, t): K_* α B + m(x*)."""
+    return _mm(_mm(K_star, alpha), B) + mean_star
+
+
+def icm_posterior_variance(K_star_diag, K_star_train, B, fac, noise_diag=None,
+                           chunk: int = 1024):
+    """Posterior variance diag (n*, t) of the ICM model, matching
+    MultitaskGPModel.compute_var (projected_lmc.py:591-640):
+
+      first  = diag(K** ⊗ B [+ Σ_noise])
+      second[(i,t)] = Σ_{j,s} k̂²[i,j] Ĉ²[t,s] / S[j,s]
+
+    with k̂ = K_*x U and Ĉ = B Rt⁻ᵀ V. Chunked over test points with a static
+    chunk size (the TPU replacement of the reference's free-memory probe).
+    """
+    U, V, Rt, S = fac["U"], fac["V"], fac["Rt"], fac["S"]
+    b_diag = jnp.diagonal(B)
+    first = K_star_diag[:, None] * b_diag[None, :]
+    if noise_diag is not None:
+        first = first + noise_diag[None, :]
+
+    C_hat = _mm(solve_triangular(Rt, B, lower=True).T, V)   # B Rt^{-T} V  (t, t)
+    C2 = C_hat * C_hat
+    M = _mm(C2, (1.0 / S).T)                                 # (t, n)
+
+    n_star = K_star_train.shape[0]
+    if n_star <= chunk:
+        k_hat = _mm(K_star_train, U)
+        second = _mm(k_hat * k_hat, M.T)
+    else:
+        pad = (-n_star) % chunk
+        Kp = jnp.pad(K_star_train, ((0, pad), (0, 0)))
+        blocks = Kp.reshape(-1, chunk, Kp.shape[-1])
+
+        def one(Kb):
+            kh = _mm(Kb, U)
+            return _mm(kh * kh, M.T)
+
+        second = jax.lax.map(one, blocks).reshape(-1, B.shape[-1])[:n_star]
+    return jnp.clip(first - second, min=1e-6)

@@ -1,0 +1,226 @@
+"""Unit tests for the L0 linear-algebra ops (cholesky ladder, kron, woodbury)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from projected_lmc_tpu.ops.cholesky import (safe_cholesky, cho_solve,
+                                            logdet_from_chol, chol_inverse_diag)
+from projected_lmc_tpu.ops import kron as kron_ops
+from projected_lmc_tpu.ops import woodbury as wb_ops
+
+
+def _psd(n, seed=0, jitter=1e-3):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((n, n))
+    return A @ A.T / n + jitter * np.eye(n)
+
+
+class TestSafeCholesky:
+    def test_matches_numpy(self):
+        A = jnp.asarray(_psd(16))
+        L = safe_cholesky(A)
+        np.testing.assert_allclose(np.asarray(L), np.linalg.cholesky(np.asarray(A)),
+                                   rtol=1e-10, atol=1e-10)
+
+    def test_batched(self):
+        A = jnp.stack([jnp.asarray(_psd(8, seed=s)) for s in range(3)])
+        L = safe_cholesky(A)
+        np.testing.assert_allclose(np.asarray(L @ jnp.swapaxes(L, -1, -2)),
+                                   np.asarray(A), rtol=1e-8, atol=1e-10)
+
+    def test_jitter_rescues_indefinite(self):
+        # rank-deficient matrix: plain cholesky fails, ladder must succeed
+        v = jnp.arange(6.0)
+        A = jnp.outer(v, v)  # PSD rank-1, singular
+        L = safe_cholesky(A)
+        assert bool(jnp.all(jnp.isfinite(L)))
+        recon = L @ L.T
+        np.testing.assert_allclose(np.asarray(recon), np.asarray(A), atol=1e-4)
+
+    def test_gradients_match_plain_cholesky(self):
+        A0 = _psd(10, seed=3)
+
+        def f_safe(x):
+            M = jnp.asarray(A0) * x
+            return jnp.sum(jnp.log(jnp.diagonal(safe_cholesky(M))))
+
+        def f_plain(x):
+            M = jnp.asarray(A0) * x
+            return jnp.sum(jnp.log(jnp.diagonal(jnp.linalg.cholesky(M))))
+
+        g_safe = jax.grad(f_safe)(1.7)
+        g_plain = jax.grad(f_plain)(1.7)
+        np.testing.assert_allclose(g_safe, g_plain, rtol=1e-9)
+
+    def test_full_matrix_gradient(self):
+        A = jnp.asarray(_psd(7, seed=5))
+
+        def f_safe(M):
+            L = safe_cholesky(M)
+            return jnp.sum(L * jnp.cos(jnp.arange(49.0).reshape(7, 7)))
+
+        def f_plain(M):
+            L = jnp.linalg.cholesky(M)
+            return jnp.sum(L * jnp.cos(jnp.arange(49.0).reshape(7, 7)))
+
+        g_safe = jax.grad(f_safe)(A)
+        g_plain = jax.grad(f_plain)(A)
+        # plain grad is not symmetrized; compare symmetrized versions
+        sym = lambda M: 0.5 * (M + M.T)
+        np.testing.assert_allclose(np.asarray(sym(g_safe)), np.asarray(sym(g_plain)),
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_under_jit(self):
+        A = jnp.asarray(_psd(12, seed=1))
+        L = jax.jit(safe_cholesky)(A)
+        np.testing.assert_allclose(np.asarray(L), np.linalg.cholesky(np.asarray(A)),
+                                   rtol=1e-10)
+
+    def test_cho_solve_and_inverse_diag(self):
+        A = jnp.asarray(_psd(9, seed=2))
+        L = safe_cholesky(A)
+        b = jnp.arange(9.0)
+        x = cho_solve(L, b[:, None])[:, 0]
+        np.testing.assert_allclose(np.asarray(A @ x), np.asarray(b), atol=1e-8)
+        invd = chol_inverse_diag(L)
+        np.testing.assert_allclose(np.asarray(invd),
+                                   np.diag(np.linalg.inv(np.asarray(A))), rtol=1e-8)
+        ld = logdet_from_chol(L)
+        np.testing.assert_allclose(float(ld), np.linalg.slogdet(np.asarray(A))[1],
+                                   rtol=1e-10)
+
+
+class TestKron:
+    def _setup(self, n=12, t=4, seed=0):
+        rng = np.random.default_rng(seed)
+        K = _psd(n, seed=seed + 1)
+        B = _psd(t, seed=seed + 2)
+        St = _psd(t, seed=seed + 3) + 0.5 * np.eye(t)
+        Y = rng.standard_normal((n, t))
+        return map(jnp.asarray, (K, B, St, Y))
+
+    def test_icm_log_prob_matches_dense(self):
+        K, B, St, Y = self._setup()
+        n, t = Y.shape
+        dense = np.kron(np.asarray(K), np.asarray(B)) + np.kron(np.eye(n), np.asarray(St))
+        L = np.linalg.cholesky(dense)
+        z = np.linalg.solve(L, np.asarray(Y).reshape(-1))
+        expected = -0.5 * (z @ z + 2 * np.log(np.diag(L)).sum()
+                           + n * t * np.log(2 * np.pi))
+        got = kron_ops.icm_log_prob(K, B, St, Y, jitter=0.0)
+        np.testing.assert_allclose(float(got), expected, rtol=1e-8)
+
+    def test_icm_solve_matches_dense(self):
+        K, B, St, Y = self._setup(seed=7)
+        n, t = Y.shape
+        dense = np.kron(np.asarray(K), np.asarray(B)) + np.kron(np.eye(n), np.asarray(St))
+        expected = np.linalg.solve(dense, np.asarray(Y).reshape(-1)).reshape(n, t)
+        fac = kron_ops.icm_eig_factors(K, B, St, jitter=0.0)
+        got = kron_ops.icm_solve(Y, fac)
+        np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-5, atol=1e-8)
+
+    def test_icm_posterior_variance_matches_dense(self):
+        K, B, St, Y = self._setup(seed=9)
+        n, t = Y.shape
+        rng = np.random.default_rng(11)
+        # treat the first 8 points as "training", 4 fresh points as test
+        Kfull = _psd(16, seed=20)
+        Ktr = jnp.asarray(Kfull[:n, :n])
+        fac = kron_ops.icm_eig_factors(Ktr, B, St, jitter=0.0)
+        Kstar_train = jnp.asarray(Kfull[n:, :n][:3])
+        Kstar_diag = jnp.asarray(np.diag(Kfull)[n:n + 3])
+        got = kron_ops.icm_posterior_variance(Kstar_diag, Kstar_train, B, fac,
+                                              noise_diag=jnp.diagonal(St))
+        dense = np.kron(np.asarray(Ktr), np.asarray(B)) + np.kron(np.eye(n), np.asarray(St))
+        cross = np.kron(np.asarray(Kstar_train), np.asarray(B))
+        prior_diag = (np.outer(np.asarray(Kstar_diag), np.diag(np.asarray(B)))
+                      + np.diag(np.asarray(St))[None, :])
+        corr = cross @ np.linalg.solve(dense, cross.T)
+        expected = prior_diag - np.diag(corr).reshape(3, t)
+        np.testing.assert_allclose(np.asarray(got), np.clip(expected, 1e-6, None),
+                                   rtol=1e-6, atol=1e-8)
+
+
+class TestWoodburyLMC:
+    def _setup(self, n=10, t=5, q=3, seed=0):
+        rng = np.random.default_rng(seed)
+        Ks = np.stack([_psd(n, seed=seed + i) for i in range(q)])
+        H = rng.standard_normal((t, q))
+        St = _psd(t, seed=seed + 50) + 0.4 * np.eye(t)
+        Y = rng.standard_normal((n, t))
+        return map(jnp.asarray, (Ks, H, St, Y))
+
+    def _dense(self, Ks, H, St):
+        Ks, H, St = map(np.asarray, (Ks, H, St))
+        q, n, _ = Ks.shape
+        t = H.shape[0]
+        out = np.kron(np.eye(n), St)
+        for b in range(q):
+            out += np.kron(Ks[b], np.outer(H[:, b], H[:, b]))
+        return out
+
+    def test_log_prob_matches_dense(self):
+        Ks, H, St, Y = self._setup()
+        dense = self._dense(Ks, H, St)
+        n, t = Y.shape
+        L = np.linalg.cholesky(dense)
+        z = np.linalg.solve(L, np.asarray(Y).reshape(-1))
+        expected = -0.5 * (z @ z + 2 * np.log(np.diag(L)).sum()
+                           + n * t * np.log(2 * np.pi))
+        got = wb_ops.lmc_log_prob(Ks, H, St, Y, jitter=0.0)
+        np.testing.assert_allclose(float(got), expected, rtol=1e-8)
+
+    def test_solve_matches_dense(self):
+        Ks, H, St, Y = self._setup(seed=4)
+        dense = self._dense(Ks, H, St)
+        n, t = Y.shape
+        fac = wb_ops.lmc_factors(Ks, H, St, jitter=0.0)
+        got = wb_ops.lmc_solve(Y, fac)
+        expected = np.linalg.solve(dense, np.asarray(Y).reshape(-1)).reshape(n, t)
+        np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-7, atol=1e-9)
+
+    def test_posterior_mean_variance_match_dense(self):
+        n, t, q, ns = 10, 4, 3, 6
+        rng = np.random.default_rng(42)
+        Kf = np.stack([_psd(n + ns, seed=60 + i) for i in range(q)])
+        Ks = jnp.asarray(Kf[:, :n, :n])
+        Kstars = jnp.asarray(Kf[:, n:, :n])
+        Kstar_diag = jnp.asarray(np.stack([np.diag(Kf[b])[n:] for b in range(q)]))
+        H = jnp.asarray(rng.standard_normal((t, q)))
+        St = jnp.asarray(_psd(t, seed=77) + 0.4 * np.eye(t))
+        Y = jnp.asarray(rng.standard_normal((n, t)))
+
+        fac = wb_ops.lmc_factors(Ks, H, St, jitter=0.0)
+        alpha = wb_ops.lmc_solve(Y, fac)
+        mean = wb_ops.lmc_posterior_mean(Kstars, H, alpha, 0.0)
+        var = wb_ops.lmc_posterior_variance(Kstars, Kstar_diag, H, St, fac, noise=True)
+
+        dense = self._dense(Ks, H, St)
+        cross = sum(np.kron(np.asarray(Kstars)[b], np.outer(np.asarray(H)[:, b],
+                                                            np.asarray(H)[:, b]))
+                    for b in range(q))
+        sol = np.linalg.solve(dense, np.asarray(Y).reshape(-1))
+        exp_mean = (cross @ sol).reshape(ns, t)
+        prior_diag = (np.asarray(Kstar_diag).T @ (np.asarray(H) ** 2).T
+                      + np.diag(np.asarray(St))[None, :])
+        corr = cross @ np.linalg.solve(dense, cross.T)
+        exp_var = prior_diag - np.diag(corr).reshape(ns, t)
+        np.testing.assert_allclose(np.asarray(mean), exp_mean, rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(var), np.clip(exp_var, 1e-6, None),
+                                   rtol=1e-6, atol=1e-8)
+
+    def test_chunked_variance(self):
+        Ks, H, St, Y = self._setup(n=9, t=3, q=2, seed=8)
+        q, n, _ = Ks.shape
+        Kstars = Ks[:, :, :]  # reuse train as "test" cross-covs
+        Kdiag = jnp.diagonal(Ks, axis1=-2, axis2=-1)
+        fac = wb_ops.lmc_factors(Ks, H, St, jitter=0.0)
+        v1 = wb_ops.lmc_posterior_variance(Kstars, Kdiag, H, St, fac, chunk=4)
+        v2 = wb_ops.lmc_posterior_variance(Kstars, Kdiag, H, St, fac, chunk=512)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-9)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
