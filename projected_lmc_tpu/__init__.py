@@ -19,7 +19,13 @@ from .likelihoods import GaussianLikelihood, MultitaskGaussianLikelihood, FixedT
 from .distributions import (MultivariateNormal, MultitaskMultivariateNormal,
                             KronCov, SumKronRank1Cov, BatchIndepCov, DenseCov)
 from .ops import (safe_cholesky, init_lmc_coefficients, latin_hypercube, sobol)
-from .models import ExactGPModel
+from .models import (ExactGPModel, MultitaskGPModel, VariationalMultitaskGPModel,
+                     ProjectedGPModel, LMCMixingMatrix)
+from .mlls import exact_mll, projected_lmc_mll, loo_pseudo_likelihood
+from .training import fit, lambda_lr_schedule, exponential_schedule
+from .metrics import compute_metrics
 
-# reference-compatible alias (projected_lmc.py:107)
+# reference-compatible aliases (projected_lmc.py:107, :1158)
 handle_covar_ = handle_covar
+ProjectedLMCmll = projected_lmc_mll
+LeaveOneOutPseudoLikelihood = loo_pseudo_likelihood

@@ -1,0 +1,212 @@
+"""Parametric-study driver — the rebuild of experiments.py:119-380.
+
+Builds the five reference model variants (ICM / var / PLMC / oilmm /
+PLMC_fast, experiments.py:183-216 + realdata_experiments.py:99-118), trains
+each with the shared jit loop (AdamW + LambdaLR + plateau stop), predicts,
+computes the 15-metric dict, and accumulates CSV results with incremental
+export at run landmarks 1, 10, 20, … (experiments.py:71,367-380).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from ..likelihoods import MultitaskGaussianLikelihood
+from ..models import (MultitaskGPModel, VariationalMultitaskGPModel,
+                      ProjectedGPModel)
+from ..mlls import projected_lmc_mll
+from ..training import fit, lambda_lr_schedule
+from ..metrics import compute_metrics
+from .synthetic import generate_synthetic
+
+DEFAULT_PARAMS = {  # experiments.py:16-27
+    "n": 500, "p": 100, "q": 25, "q_guess": 25, "q_noise": 25,
+    "q_noise_guess": 25, "mu_noise": 1e-1, "mu_str": 0.9,
+    "max_scale": 0.5, "void": 0.0,
+}
+
+DEFAULT_SWEEPS = {  # experiments.py:29-40
+    "n": list(range(200, 1001, 100)),
+    "p": list(range(50, 201, 25)),
+    "q": list(range(10, 91, 10)),
+    "q_guess": list(range(10, 91, 10)),
+    "q_noise": list(range(10, 91, 10)),
+    "q_noise_guess": list(range(10, 91, 10)),
+    "mu_noise": list(np.logspace(-3, np.log10(0.5), 10)),
+    "mu_str": list(np.linspace(1e-3, 1.0, 10)),
+    "max_scales": list(np.linspace(0.1, 2.0, 10)),
+    "void": [0.0],
+}
+
+MODEL_CONFIGS = {  # experiments.py:196-216, realdata_experiments.py:99-118
+    "PLMC": dict(BDN=False, diagonal_B=False, scalar_B=False, diagonal_R=False),
+    "oilmm": dict(BDN=True, diagonal_B=True, scalar_B=True, diagonal_R=True),
+    "PLMC_fast": dict(BDN=True, diagonal_B=True, scalar_B=True, diagonal_R=False),
+}
+
+
+def build_models(X, Y, q_model, q_noise_guess, models_to_run,
+                 kernel_type="matern", mean_type="zero", decomp=None,
+                 train_ind_ratio=1.5, n_ind_points=None, ker_kwargs=None,
+                 oilmm_bulk=True, seed=0):
+    """Instantiate the reference's five model variants."""
+    p = Y.shape[1]
+    models = {}
+    if "ICM" in models_to_run:
+        lik = MultitaskGaussianLikelihood(num_tasks=p, rank=q_noise_guess, seed=seed)
+        models["ICM"] = MultitaskGPModel(
+            X, Y, lik, n_tasks=p, n_latents=q_model, model_type="ICM",
+            init_lmc_coeffs=True, mean_type=mean_type, kernel_type=kernel_type,
+            decomp=decomp, n_inducing_points=n_ind_points, ker_kwargs=ker_kwargs,
+            seed=seed)
+    if "var" in models_to_run:
+        lik = MultitaskGaussianLikelihood(num_tasks=p, rank=q_noise_guess, seed=seed)
+        TI_rat = train_ind_ratio if n_ind_points is None else X.shape[0] / n_ind_points
+        models["var"] = VariationalMultitaskGPModel(
+            X, n_latents=q_model, n_tasks=p, train_y=Y, init_lmc_coeffs=True,
+            mean_type=mean_type, kernel_type=kernel_type, decomp=decomp,
+            train_ind_ratio=TI_rat, seed=0, likelihood=lik, ker_kwargs=ker_kwargs)
+    for name in ("PLMC", "oilmm", "PLMC_fast"):
+        if name in models_to_run:
+            cfg = dict(MODEL_CONFIGS[name])
+            if name == "oilmm" and not oilmm_bulk:
+                cfg["bulk"] = False
+            models[name] = ProjectedGPModel(
+                X, Y, p, q_model, proj_likelihood=None, init_lmc_coeffs=True,
+                mean_type="zero", kernel_type=kernel_type, decomp=decomp,
+                n_inducing_points=n_ind_points, ker_kwargs=ker_kwargs,
+                seed=seed, **cfg)
+    return models
+
+
+def _loss_fn_for(name, model):
+    if name in MODEL_CONFIGS:
+        return projected_lmc_mll
+    if name == "var":
+        return lambda m: m.elbo()
+    return lambda m: m.mll()
+
+
+def train_and_eval(models, X_test, Y_test, n_iter=100000, lr=1e-2, lr_min=1e-3,
+                   loss_thresh=2.5e-6, patience=500, criterion="max",
+                   print_metrics=True, print_loss=False, test_mask=None,
+                   block_every=1):
+    """Shared training + prediction + metrics (experiments.py:256-347)."""
+    results = {}
+    trained = {}
+    for name, model in models.items():
+        loss_fn = _loss_fn_for(name, model)
+        schedule = lambda_lr_schedule(lr_max=lr, lr_min=lr_min)
+        model_t, info = fit(model, loss_fn, n_iter=n_iter, lr=lr,
+                            schedule=schedule, loss_thresh=loss_thresh,
+                            patience=patience, criterion=criterion,
+                            print_loss=print_loss, block_every=block_every)
+        trained[name] = model_t
+
+        start = time.time()
+        if hasattr(model_t, "full_likelihood"):           # projected models
+            mean, var = model_t.predict(X_test, observed=True)
+            fl = model_t.full_likelihood()
+            H_guess_hid = np.asarray(fl.task_noise_covar_factor)
+        elif name == "ICM":
+            cache = model_t.precompute_posterior()
+            pred = model_t.posterior(X_test, cache=cache, observed=True)
+            mean = pred.mean
+            var = model_t.compute_var(X_test)             # reference uses compute_var
+            lik = model_t.likelihood
+            H_guess_hid = _noise_matrix(lik)
+        else:
+            pred = model_t(X_test, observed=True) if callable(model_t) else None
+            mean, var = pred.mean, pred.variance
+            H_guess_hid = _noise_matrix(model_t.likelihood)
+        sigma = np.sqrt(np.asarray(var))
+        pred_time = time.time() - start
+
+        metrics = compute_metrics(Y_test, np.asarray(mean), sigma, info["loss"],
+                                  H_guess_hid, info["n_iter"], info["train_time"],
+                                  pred_time, print_metrics=print_metrics,
+                                  test_mask=test_mask)
+        metrics["model"] = name
+        results[name] = metrics
+    return results, trained
+
+
+def _noise_matrix(lik):
+    """Recover the estimated task-noise matrix H_guess_hid
+    (experiments.py:333-340)."""
+    global_noise = float(np.asarray(lik.noise)[0]) if lik.has_global_noise else 0.0
+    if lik.rank > 0:
+        H = np.asarray(lik.task_noise_covar_factor).copy()
+        p = H.shape[0]
+        H[range(p), range(p)] = np.diag(H) + global_noise
+        return H
+    return np.sqrt(np.asarray(lik.task_noises) + global_noise)
+
+
+def run_study(v_test: str = "void", v_test_2: str = "void",
+              n_random_runs: int = 1, models_to_run=None, params=None,
+              sweeps=None, path: str = None, n_iter: int = 100000,
+              lr: float = 1e-2, lr_min: float = 1e-3,
+              loss_thresh: float = 2.5e-6, patience: int = 500,
+              print_metrics: bool = False, export_results: bool = True,
+              reject_nonconverged_runs: bool = False, block_every: int = 1,
+              n_test: int = 2500, dtype=np.float32):
+    """The full parametric study loop (experiments.py:119-380), with the same
+    incremental landmark CSV export and optional non-converged-run rejection
+    (err > max(0.2, 5·μ_noise), experiments.py:360-365)."""
+    import pandas as pd
+
+    v = dict(DEFAULT_PARAMS, **(params or {}))
+    v_vals = dict(DEFAULT_SWEEPS, **(sweeps or {}))
+    models_to_run = models_to_run or ["ICM", "PLMC", "oilmm", "var", "PLMC_fast"]
+    landmarks = [1] + list(range(10, n_random_runs + 1, 10))
+    if path is None:
+        path = f"results/parameter_study_{v_test}_{v_test_2}.csv"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    results = {}
+    df = None
+    updated_cols = None
+    for i_run in range(n_random_runs):
+        for i_v, vval in enumerate(v_vals[v_test]):
+            for i_v2, vval2 in enumerate(v_vals[v_test_2]):
+                v[v_test] = vval
+                v[v_test_2] = vval2
+                run_key = f"_{v_test}_{v_test_2}_{i_v}_{i_v2}"
+                q_noise_guess = v["q_noise_guess"] if v_test == "q_noise_guess" \
+                    else v["p"]
+                q_mod = v["q"] if v_test != "q_guess" else v["q_guess"]
+
+                data = generate_synthetic(
+                    n=v["n"], p=v["p"], q=v["q"], q_noise=v["q_noise"],
+                    mu_noise=v["mu_noise"], mu_str=v["mu_str"],
+                    max_scale=v["max_scale"], n_test=n_test, seed=i_run,
+                    dtype=dtype)
+                models = build_models(data["X"], data["Y"], q_mod,
+                                      q_noise_guess, models_to_run, seed=i_run)
+                run_results, _ = train_and_eval(
+                    models, data["X_test"], data["Y_test"], n_iter=n_iter,
+                    lr=lr, lr_min=lr_min, loss_thresh=loss_thresh,
+                    patience=patience, print_metrics=print_metrics,
+                    block_every=block_every)
+                for name, metrics in run_results.items():
+                    metrics.update(v)
+                    metrics["model"] = name
+                    results[name + run_key] = metrics
+
+        frame = pd.DataFrame.from_dict(results, orient="index")
+        if i_run == 0:
+            df = frame.copy()
+            updated_cols = df.columns.difference(list(v.keys()) + ["model"])
+            df[updated_cols] = 0.0
+        df[updated_cols] += frame[updated_cols]
+
+        if (i_run + 1) in landmarks and export_results:
+            df_part = df.copy()
+            df_part[updated_cols] = df_part[updated_cols] / (i_run + 1)
+            partial = path[:-4] + f"_{i_run + 1}runs.csv"
+            df_part.to_csv(partial)
+    return results

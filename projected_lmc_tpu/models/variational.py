@@ -1,0 +1,251 @@
+"""Variational multitask (LMC) GP — whitened SVGP over q shared-inducing latents.
+
+TPU-native counterpart of ``VariationalMultitaskGPModel`` +
+``CustomLMCVariationalStrategy`` (projected_lmc.py:659-813). gpytorch's
+variational-strategy object graph collapses here to explicit batched math:
+
+  whitened (default):   q(f_b) = N(A_b m_b, K_b − A_b A_bᵀ + A_b S_b A_bᵀ),
+                        A_b = K_xz,b L_zz,b⁻ᵀ,  KL = KL(N(m,S) ‖ N(0,I))
+  unwhitened (train_ind_ratio == 1, reference :724-729): inducing points fixed
+                        at the training inputs, q(u) in function space,
+                        KL = KL(N(m,S) ‖ N(0,K_zz))
+
+Inducing points are **shared across latents** and initialized by scrambled
+LatinHypercube in [−1,1] with n_ind = floor(n/train_ind_ratio)
+(projected_lmc.py:732-734; the README says Sobol' — the code uses LHC, which we
+match). Deterministic means live on *tasks*, not latents
+(CustomLMCVariationalStrategy, :672-683); latent means are zero (:752).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..module import Module
+from ..kernels import handle_covar, KERNEL_REGISTRY
+from ..means import MEAN_REGISTRY
+from ..likelihoods import MultitaskGaussianLikelihood
+from ..ops.init_ops import init_lmc_coefficients, latin_hypercube
+from ..ops.cholesky import safe_cholesky, solve_triangular, cho_solve, logdet_from_chol
+from .exact import _resolve
+from .multitask import _MeanVarMT
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+class VariationalMultitaskGPModel(Module):
+    """SVGP LMC with CholeskyVariationalDistribution over batch q latents."""
+
+    _buffers_ = ("train_x", "train_y")
+
+    def __init__(self, train_x, n_latents: int, n_tasks: int = None,
+                 train_ind_ratio: float = 1.5, seed: int = 0,
+                 init_lmc_coeffs: bool = False, train_y=None,
+                 prior_scales=None, prior_width=None, mean_type="constant",
+                 kernel_type="rbf", outputscales: bool = False, decomp=None,
+                 likelihood: MultitaskGaussianLikelihood = None,
+                 ker_kwargs=None, **kwargs):
+        train_x = jnp.asarray(train_x)
+        if train_x.ndim == 1:
+            train_x = train_x[:, None]
+        dtype = train_x.dtype
+        self.train_x = train_x
+        self.dim = int(train_x.shape[1])
+        n = train_x.shape[0]
+
+        if train_y is not None:
+            train_y = jnp.asarray(train_y, dtype)
+            if n_tasks is None or train_y.shape[1] != n_tasks:
+                n_tasks = train_y.shape[1]
+        self.train_y = train_y
+        self.n_tasks, self.n_latents = int(n_tasks), int(n_latents)
+
+        self.whitened = float(train_ind_ratio) != 1.0
+        if not self.whitened:
+            # inducing fixed at train inputs, unwhitened strategy (:724-729)
+            inducing = train_x
+            self._frozen_params_ = ("inducing_points",)
+        else:
+            n_ind = int(np.floor(n / float(train_ind_ratio)))
+            inducing = jnp.asarray(
+                2.0 * latin_hypercube(n_ind, self.dim, seed=seed) - 1.0, dtype)
+        self.inducing_points = inducing
+        m = inducing.shape[0]
+
+        # CholeskyVariationalDistribution (batch q): mean 0; chol initialized at
+        # the prior — I for the whitened strategy, chol(K_zz) for the
+        # unwhitened one (gpytorch's initialize_variational_distribution)
+        self.var_mean = jnp.zeros((n_latents, m), dtype)
+        self.var_chol = jnp.broadcast_to(jnp.eye(m, dtype=dtype),
+                                         (n_latents, m, m)).copy()
+
+        self.covar_module = handle_covar(
+            _resolve(KERNEL_REGISTRY, kernel_type, "rbf"), dim=self.dim,
+            decomp=decomp, prior_scales=prior_scales, prior_width=prior_width,
+            outputscales=outputscales, n_funcs=n_latents,
+            ker_kwargs=ker_kwargs, dtype=dtype)
+
+        # task-level deterministic means (CustomLMCVariationalStrategy)
+        mean_cls = _resolve(MEAN_REGISTRY, mean_type, "constant")
+        self.output_mean_module = mean_cls(input_size=self.dim,
+                                           batch_shape=n_tasks, dtype=dtype, seed=seed)
+
+        if likelihood is None:
+            likelihood = MultitaskGaussianLikelihood(num_tasks=n_tasks, rank=0,
+                                                     seed=seed, dtype=dtype)
+        self.likelihood = likelihood
+
+        if init_lmc_coeffs and train_y is not None:
+            coeffs = np.asarray(init_lmc_coefficients(np.asarray(train_y), n_latents))
+            self.lmc_coeffs = jnp.asarray(coeffs, dtype)        # (q, T)
+        else:
+            rng = np.random.default_rng(seed)
+            self.lmc_coeffs = jnp.asarray(
+                rng.standard_normal((n_latents, n_tasks)), dtype)
+
+        if not self.whitened:
+            # unwhitened prior is N(0, K_zz): start q(u) at the prior
+            # (host-side escalating-jitter Cholesky for the one-time init;
+            # starts at the runtime prior jitter of _kernel_factors so that
+            # S == K_zz + jitter·I exactly and the initial KL is zero)
+            Kzz = np.asarray(self.covar_module(inducing), np.float64)
+            jitter = 1e-6
+            while True:
+                try:
+                    chol = np.linalg.cholesky(Kzz + jitter * np.eye(m))
+                    break
+                except np.linalg.LinAlgError:
+                    jitter *= 10
+                    if jitter > 1e2:
+                        raise
+            self.var_chol = jnp.asarray(chol, dtype)
+
+    def lmc_coefficients(self):
+        return np.asarray(self.lmc_coeffs)
+
+    # -- variational machinery ---------------------------------------------------
+    def _kernel_factors(self):
+        z = self.inducing_points
+        Kzz = self.covar_module(z)
+        m = Kzz.shape[-1]
+        Lzz = safe_cholesky(Kzz + 1e-6 * jnp.eye(m, dtype=Kzz.dtype))
+        return Lzz
+
+    def compute_latent_distrib(self, x, full_cov: bool = False):
+        """Batched latent posterior q(f_b(x)): returns (mean (q,n), var (q,n))
+        or (mean, cov (q,n,n)) (projected_lmc.py:812-813)."""
+        Lzz = self._kernel_factors()
+        Kxz = self.covar_module(x, self.inducing_points)        # (q, n, m)
+        S_chol = jnp.tril(self.var_chol)
+        if self.whitened:
+            A = jnp.swapaxes(solve_triangular(Lzz, jnp.swapaxes(Kxz, -1, -2),
+                                              lower=True), -1, -2)  # (q, n, m)
+            mean = jnp.matmul(A, self.var_mean[..., None], precision=_HIGHEST)[..., 0]
+            AS = jnp.matmul(A, S_chol, precision=_HIGHEST)
+            if full_cov:
+                Kxx = self.covar_module(x)
+                cov = Kxx - jnp.matmul(A, jnp.swapaxes(A, -1, -2), precision=_HIGHEST) \
+                    + jnp.matmul(AS, jnp.swapaxes(AS, -1, -2), precision=_HIGHEST)
+                return mean, cov
+            kdiag = self.covar_module(x, diag=True)
+            var = kdiag - jnp.sum(A * A, axis=-1) + jnp.sum(AS * AS, axis=-1)
+            return mean, jnp.clip(var, min=1e-12)
+        # unwhitened: interp = K_xz K_zz^{-1}
+        interp = jnp.swapaxes(cho_solve(Lzz, jnp.swapaxes(Kxz, -1, -2)), -1, -2)
+        mean = jnp.matmul(interp, self.var_mean[..., None], precision=_HIGHEST)[..., 0]
+        IS = jnp.matmul(interp, S_chol, precision=_HIGHEST)
+        # cov = Kxx − interp (Kzz − S) interpᵀ = Kxx − (interp Lzz)(interp Lzz)ᵀ + IS ISᵀ
+        ILz = jnp.matmul(interp, Lzz, precision=_HIGHEST)
+        if full_cov:
+            Kxx = self.covar_module(x)
+            cov = Kxx - jnp.matmul(ILz, jnp.swapaxes(ILz, -1, -2), precision=_HIGHEST) \
+                + jnp.matmul(IS, jnp.swapaxes(IS, -1, -2), precision=_HIGHEST)
+            return mean, cov
+        kdiag = self.covar_module(x, diag=True)
+        var = kdiag - jnp.sum(ILz * ILz, axis=-1) + jnp.sum(IS * IS, axis=-1)
+        return mean, jnp.clip(var, min=1e-12)
+
+    def kl_divergence(self):
+        """Σ_b KL(q(u_b) ‖ p(u_b)); whitened prior is N(0, I)."""
+        S_chol = jnp.tril(self.var_chol)
+        m = S_chol.shape[-1]
+        diag = jnp.diagonal(S_chol, axis1=-2, axis2=-1)
+        logdet_S = jnp.sum(jnp.log(diag * diag), axis=-1)
+        if self.whitened:
+            tr = jnp.sum(S_chol * S_chol, axis=(-2, -1))
+            quad = jnp.sum(self.var_mean * self.var_mean, axis=-1)
+            kl = 0.5 * (tr + quad - m - logdet_S)
+            return jnp.sum(kl)
+        Lzz = self._kernel_factors()
+        iL_S = solve_triangular(Lzz, S_chol, lower=True)
+        tr = jnp.sum(iL_S * iL_S, axis=(-2, -1))
+        w = solve_triangular(Lzz, self.var_mean[..., None], lower=True)[..., 0]
+        quad = jnp.sum(w * w, axis=-1)
+        logdet_K = logdet_from_chol(Lzz)
+        kl = 0.5 * (tr + quad - m + logdet_K - logdet_S)
+        return jnp.sum(kl)
+
+    # -- task-level predictions -----------------------------------------------------
+    def __call__(self, x, observed: bool = False):
+        """Task-level posterior mean/variance (LMC mixing + task means)."""
+        mean_l, var_l = self.compute_latent_distrib(x, full_cov=False)
+        W = self.lmc_coeffs                                     # (q, T)
+        mean = jnp.matmul(mean_l.T, W, precision=_HIGHEST) \
+            + self.output_mean_module(x).T                      # (n, T)
+        var = jnp.matmul(var_l.T, W * W, precision=_HIGHEST)
+        if observed:
+            var = var + jnp.diagonal(self.likelihood.task_covariance())[None, :]
+        return _MeanVarMT(mean, var)
+
+    def elbo(self, x=None, y=None, num_data: int = None):
+        """VariationalELBO (gpytorch semantics): E_q[log p(y|f)]/num_data −
+        KL/num_data, with the expected log-likelihood under the multitask
+        Gaussian noise Σt computed in closed form."""
+        x = self.train_x if x is None else x
+        y = self.train_y if y is None else jnp.asarray(y)
+        n = x.shape[0]
+        num_data = n if num_data is None else num_data
+
+        mean_l, var_l = self.compute_latent_distrib(x, full_cov=False)
+        W = self.lmc_coeffs                                     # (q, T)
+        mean = jnp.matmul(mean_l.T, W, precision=_HIGHEST) \
+            + self.output_mean_module(x).T
+        delta = y - mean                                        # (n, T)
+
+        Sigma_t = self.likelihood.task_covariance()
+        Rt = safe_cholesky(Sigma_t)
+        z = solve_triangular(Rt, delta.T, lower=True)           # (T, n)
+        quad = jnp.sum(z * z)
+        logdet = logdet_from_chol(Rt)
+        T = Sigma_t.shape[-1]
+        # trace term: Σ_n Σ_b var_b(x_n) (W Σt^{-1} Wᵀ)_{bb}
+        SinvW = cho_solve(Rt, W.T)                              # (T, q)
+        wsw_diag = jnp.sum(W.T * SinvW, axis=0)                 # (q,)
+        trace = jnp.sum(var_l * wsw_diag[:, None])
+        exp_ll = -0.5 * (quad + trace + n * (logdet + T * math.log(2 * math.pi)))
+
+        kl = self.kl_divergence()
+        prior = self.covar_module.prior_log_prob()
+        return (exp_ll - kl + prior) / num_data
+
+    # -- introspection ---------------------------------------------------------------
+    def lscales(self, unpacked: bool = True):
+        cm = self.covar_module
+        if hasattr(cm, "kernels"):
+            return [np.squeeze(np.asarray(k.lengthscale)) for k in cm.kernels]
+        scales = np.squeeze(np.asarray(cm.lengthscale))
+        return scales if unpacked else [scales]
+
+    def outputscale(self, unpacked: bool = False):
+        cm = self.covar_module
+        if hasattr(cm, "kernels"):
+            res = np.stack([np.asarray(k.outputscale) for k in cm.kernels], axis=1)
+        elif hasattr(cm, "outputscale"):
+            res = np.asarray(cm.outputscale)[:, None]
+        else:
+            res = np.ones((self.n_latents, 1))
+        return res.squeeze() if unpacked else res

@@ -1,0 +1,2 @@
+from .mesh import make_mesh, model_shardings, shard_model, replicate
+from .sharded import sharded_fit_step, dryrun_step

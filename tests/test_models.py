@@ -1,0 +1,297 @@
+"""Model-level tests: the driver's 5 graded configs at small scale, plus
+closed-form posterior checks and cross-model consistency (SURVEY §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import projected_lmc_tpu as pl
+from projected_lmc_tpu.training import fit
+
+
+def make_data(n=80, p=6, q=2, noise=0.05, seed=0, dtype=np.float64):
+    rng = np.random.default_rng(seed)
+    X = np.linspace(-1, 1, n)[:, None].astype(dtype)
+    U = np.stack([np.sin(3 * X[:, 0]), np.cos(5 * X[:, 0]),
+                  np.sin(7 * X[:, 0])][:q], axis=1)
+    H = rng.standard_normal((q, p))
+    Y = (U @ H + noise * rng.standard_normal((n, p))).astype(dtype)
+    return X, Y, U @ H, H
+
+
+class TestExactGP:
+    def test_closed_form_posterior(self):
+        """n=4 closed-form GP regression check against hand-rolled numpy."""
+        X = np.array([[-1.0], [-0.3], [0.4], [0.9]])
+        y = np.array([0.1, -0.4, 0.3, 0.8])
+        noise = 0.01
+        lik = pl.GaussianLikelihood(batch_shape=1, noise_init=noise)
+        m = pl.ExactGPModel(X, y, lik, n_tasks=1, kernel_type="rbf", mean_type="zero")
+        ls = float(m.covar_module.lengthscale[0, 0, 0])
+
+        def k(a, b):
+            return np.exp(-0.5 * (a - b.T) ** 2 / ls**2)
+
+        K = k(X, X) + noise * np.eye(4)
+        Xs = np.array([[0.0], [0.5]])
+        Ks = k(Xs, X)
+        expected_mean = Ks @ np.linalg.solve(K, y)
+        expected_var = np.diag(k(Xs, Xs) - Ks @ np.linalg.solve(K, Ks.T))
+
+        post = m.posterior(Xs, full_cov=False)
+        np.testing.assert_allclose(np.asarray(post.mean)[0], expected_mean, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(post.variance)[0], expected_var,
+                                   rtol=1e-5, atol=1e-10)
+
+    def test_mll_matches_gaussian_logpdf(self):
+        X = np.array([[-1.0], [0.0], [1.0]])
+        y = np.array([0.2, -0.1, 0.5])
+        noise = 0.1
+        lik = pl.GaussianLikelihood(batch_shape=1, noise_init=noise)
+        m = pl.ExactGPModel(X, y, lik, n_tasks=1, kernel_type="rbf", mean_type="zero")
+        ls = float(m.covar_module.lengthscale[0, 0, 0])
+        K = np.exp(-0.5 * (X - X.T) ** 2 / ls**2) + noise * np.eye(3)
+        from scipy.stats import multivariate_normal
+        expected = multivariate_normal.logpdf(y, mean=np.zeros(3), cov=K) / 3
+        np.testing.assert_allclose(float(m.mll()), expected, rtol=1e-6)
+
+    def test_training_reduces_loss_config1(self):
+        """Driver config 1: exact single-output GP, RBF, synthetic points."""
+        X, Y, F, _ = make_data(n=60, p=1, q=1)
+        lik = pl.GaussianLikelihood(batch_shape=1)
+        m = pl.ExactGPModel(X, Y[:, 0], lik, n_tasks=1, kernel_type="rbf")
+        l0 = float(m.mll())
+        m2, info = fit(m, n_iter=150, lr=0.05, patience=40)
+        assert -info["loss"] > l0
+        post = m2.posterior(X, full_cov=False)
+        assert np.sqrt(np.mean((np.asarray(post.mean)[0] - F[:, 0]) ** 2)) < 0.1
+
+    def test_batch_multitask_config2(self):
+        """Driver config 2: batch-independent multitask GP."""
+        X, Y, F, _ = make_data(n=60, p=3, q=2)
+        lik = pl.GaussianLikelihood(batch_shape=3)
+        m = pl.ExactGPModel(X, Y, lik, n_tasks=3, kernel_type="matern")
+        m2, info = fit(m, n_iter=200, lr=0.05, patience=40)
+        post = m2.posterior(X, full_cov=False)
+        rmse = np.sqrt(np.mean((np.asarray(post.mean).T - F) ** 2))
+        assert rmse < 0.1
+        # introspection
+        assert np.asarray(m2.lscales()).shape[-1] == 1 or np.asarray(m2.lscales()).ndim >= 0
+        s2, ym = m2.compute_loo()
+        assert s2.shape == (60, 3) and bool(jnp.all(s2 > 0))
+
+    def test_sgpr_inducing(self):
+        X, Y, F, _ = make_data(n=120, p=1, q=1)
+        lik = pl.GaussianLikelihood(batch_shape=1)
+        m = pl.ExactGPModel(X, Y[:, 0], lik, n_tasks=1, n_inducing_points=20)
+        # inducing points must be trainable, model must train
+        m2, info = fit(m, n_iter=250, lr=0.05, patience=60)
+        post = m2.posterior(X, full_cov=False)
+        rmse = np.sqrt(np.mean((np.asarray(post.mean)[0] - F[:, 0]) ** 2))
+        assert rmse < 0.15
+        assert not np.allclose(np.asarray(m2.inducing_points),
+                               np.asarray(m.inducing_points))
+
+
+class TestMultitask:
+    def test_icm_mll_matches_dense(self):
+        """ICM Kronecker MLL == dense multitask MVN log-prob."""
+        X, Y, _, _ = make_data(n=20, p=3, q=2)
+        lik = pl.MultitaskGaussianLikelihood(num_tasks=3, rank=2)
+        m = pl.MultitaskGPModel(X, Y, lik, n_tasks=3, n_latents=2, model_type="ICM")
+        got = float(m.mll()) * (20 * 3)
+        dist = m(X)
+        dist = pl.MultitaskMultivariateNormal(
+            dist.mean, dist.covar.with_noise(lik.task_covariance()))
+        dense = dist.to_dense()
+        expected = float(dense.log_prob(jnp.asarray(Y).reshape(-1)))
+        np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+    def test_lmc_mll_matches_dense(self):
+        X, Y, _, _ = make_data(n=15, p=4, q=2)
+        lik = pl.MultitaskGaussianLikelihood(num_tasks=4, rank=0)
+        m = pl.MultitaskGPModel(X, Y, lik, n_tasks=4, n_latents=2,
+                                model_type="LMC", fix_diagonal=False)
+        got = float(m.mll()) * (15 * 4)
+        mean = m.mean_module(X).T
+        cov = pl.SumKronRank1Cov(
+            m.covar_module(X), jnp.asarray(m.lmc_coefficients()).T,
+            lik.task_covariance() + jnp.diag(m._lmc_extra_diag()))
+        dist = pl.MultitaskMultivariateNormal(mean, cov)
+        expected = float(dist.to_dense().log_prob(jnp.asarray(Y).reshape(-1)))
+        np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+    def test_icm_training_config3(self):
+        """Driver config 3: exact ICM/LMC with Matern kernel."""
+        X, Y, F, _ = make_data(n=60, p=5, q=2)
+        lik = pl.MultitaskGaussianLikelihood(num_tasks=5, rank=2)
+        m = pl.MultitaskGPModel(X, Y, lik, n_tasks=5, n_latents=2,
+                                model_type="ICM", kernel_type="matern")
+        m2, info = fit(m, n_iter=200, lr=0.05, patience=50)
+        pred = m2.posterior(X)
+        rmse = np.sqrt(np.mean((np.asarray(pred.mean) - F) ** 2))
+        assert rmse < 0.1
+        var = m2.compute_var(X[:10])
+        assert var.shape == (10, 5) and bool(jnp.all(var > 0))
+
+    def test_icm_posterior_matches_dense(self):
+        """ICM posterior mean/var vs brute-force dense computation."""
+        X, Y, _, _ = make_data(n=18, p=3, q=2)
+        Xs = np.linspace(-0.9, 0.9, 5)[:, None]
+        lik = pl.MultitaskGaussianLikelihood(num_tasks=3, rank=1)
+        m = pl.MultitaskGPModel(X, Y, lik, n_tasks=3, n_latents=2, model_type="ICM")
+        pred = m.posterior(Xs, observed=True)
+
+        K = np.asarray(m.covar_module(X))[0]
+        B = np.asarray(m.task_covar_matrix())
+        St = np.asarray(lik.task_covariance())
+        Ks = np.asarray(m.covar_module(Xs, X))[0]
+        Kss = np.asarray(m.covar_module(Xs))[0]
+        dense = np.kron(K, B) + np.kron(np.eye(18), St)
+        cross = np.kron(Ks, B)
+        mean_prior = np.asarray(m.mean_module(X)).T
+        sol = np.linalg.solve(dense, (np.asarray(Y) - mean_prior).reshape(-1))
+        exp_mean = (cross @ sol).reshape(5, 3) + np.asarray(m.mean_module(Xs)).T
+        prior_cov = np.kron(Kss, B) + np.kron(np.eye(5), St)
+        corr = cross @ np.linalg.solve(dense, cross.T)
+        exp_var = np.diag(prior_cov - corr).reshape(5, 3)
+        np.testing.assert_allclose(np.asarray(pred.mean), exp_mean, rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(pred.variance), exp_var, rtol=1e-4, atol=1e-8)
+
+    def test_lmc_posterior_matches_dense(self):
+        X, Y, _, _ = make_data(n=15, p=3, q=2)
+        Xs = np.linspace(-0.8, 0.8, 4)[:, None]
+        lik = pl.MultitaskGaussianLikelihood(num_tasks=3, rank=0)
+        m = pl.MultitaskGPModel(X, Y, lik, n_tasks=3, n_latents=2,
+                                model_type="LMC", fix_diagonal=True)
+        pred = m.posterior(Xs, observed=True)
+
+        Ks_tr = np.asarray(m.covar_module(X))
+        H = np.asarray(m.lmc_coefficients()).T
+        St = np.asarray(lik.task_covariance() + jnp.diag(m._lmc_extra_diag()))
+        dense = np.kron(np.eye(15), St)
+        for b in range(2):
+            dense += np.kron(Ks_tr[b], np.outer(H[:, b], H[:, b]))
+        Kcross = np.asarray(m.covar_module(Xs, X))
+        cross = sum(np.kron(Kcross[b], np.outer(H[:, b], H[:, b])) for b in range(2))
+        mean_prior = np.asarray(m.mean_module(X)).T
+        sol = np.linalg.solve(dense, (np.asarray(Y) - mean_prior).reshape(-1))
+        exp_mean = (cross @ sol).reshape(4, 3) + np.asarray(m.mean_module(Xs)).T
+        Kss = np.asarray(m.covar_module(Xs))
+        prior = sum(np.kron(Kss[b], np.outer(H[:, b], H[:, b])) for b in range(2)) \
+            + np.kron(np.eye(4), St)
+        exp_var = np.diag(prior - cross @ np.linalg.solve(dense, cross.T)).reshape(4, 3)
+        np.testing.assert_allclose(np.asarray(pred.mean), exp_mean, rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(pred.variance), exp_var, rtol=1e-4, atol=1e-8)
+
+
+class TestVariational:
+    def test_whitened_trains_config4(self):
+        """Driver config 4: variational LMC with LHC inducing points."""
+        X, Y, F, _ = make_data(n=90, p=4, q=2)
+        lik = pl.MultitaskGaussianLikelihood(num_tasks=4, rank=0)
+        m = pl.VariationalMultitaskGPModel(
+            X, n_latents=2, n_tasks=4, train_y=Y, init_lmc_coeffs=True,
+            train_ind_ratio=1.5, kernel_type="matern", likelihood=lik,
+            mean_type="zero")
+        assert m.inducing_points.shape[0] == 60
+        m2, info = fit(m, lambda mm: mm.elbo(), n_iter=400, lr=0.05, patience=60)
+        pred = m2(X, observed=True)
+        rmse = np.sqrt(np.mean((np.asarray(pred.mean) - F) ** 2))
+        assert rmse < 0.12
+        assert bool(jnp.all(pred.variance > 0))
+
+    def test_kl_zero_at_prior(self):
+        X, Y, _, _ = make_data(n=30, p=3, q=2)
+        m = pl.VariationalMultitaskGPModel(X, n_latents=2, n_tasks=3, train_y=Y,
+                                           mean_type="zero")
+        # whitened init: q(u) = N(0, I) = prior -> KL == 0
+        np.testing.assert_allclose(float(m.kl_divergence()), 0.0, atol=1e-10)
+
+    def test_unwhitened_kl_zero_at_prior(self):
+        X, Y, _, _ = make_data(n=25, p=3, q=2)
+        m = pl.VariationalMultitaskGPModel(X, n_latents=2, n_tasks=3, train_y=Y,
+                                           train_ind_ratio=1.0, mean_type="zero")
+        assert not m.whitened
+        np.testing.assert_allclose(float(m.kl_divergence()), 0.0, atol=1e-6)
+
+
+class TestProjected:
+    def test_project_roundtrip(self):
+        """project_data ∘ mix == identity on noiseless rank-q data."""
+        X, Y, F, H = make_data(n=40, p=6, q=2, noise=0.0)
+        m = pl.ProjectedGPModel(X, F, 6, 2, init_lmc_coeffs=True,
+                                BDN=True, scalar_B=True, diagonal_B=True)
+        proj = np.asarray(m.project_data(jnp.asarray(F)))     # (q, n)
+        Hhat = np.asarray(m.lmc_coefficients())               # (q, p)
+        recon = proj.T @ Hhat
+        np.testing.assert_allclose(recon, F, atol=1e-4)
+
+    def test_projection_matrix_identity(self):
+        """T = R⁻ᵀQᵀ satisfies H T = I_q (pseudo-inverse property)."""
+        X, Y, _, _ = make_data(n=40, p=5, q=2)
+        m = pl.ProjectedGPModel(X, Y, 5, 2, init_lmc_coeffs=True,
+                                BDN=False, diagonal_B=False, scalar_B=False)
+        T = np.asarray(m.projection_matrix())                  # (p, q)
+        H = np.asarray(m.lmc_coefficients())                   # (q, p)
+        # BDN=False adds the M correction; with M=0 at init H T = I
+        np.testing.assert_allclose(H @ T, np.eye(2), atol=1e-5)
+
+    def test_mll_variants_and_training_config5(self):
+        """Driver config 5 (small): PLMC variants all train to low error."""
+        X, Y, F, _ = make_data(n=70, p=6, q=2)
+        for name, cfg in {
+            "PLMC": dict(BDN=False, diagonal_B=False, scalar_B=False, diagonal_R=False),
+            "PLMC_fast": dict(BDN=True, diagonal_B=True, scalar_B=True, diagonal_R=False),
+            "oilmm": dict(BDN=True, diagonal_B=True, scalar_B=True, diagonal_R=True,
+                          bulk=False),
+        }.items():
+            m = pl.ProjectedGPModel(X, Y, 6, 2, init_lmc_coeffs=True,
+                                    kernel_type="matern", **cfg)
+            m2, info = fit(m, pl.projected_lmc_mll, n_iter=250, lr=0.03, patience=50)
+            mean, var = m2.predict(X)
+            rmse = np.sqrt(np.mean((np.asarray(mean) - F) ** 2))
+            assert rmse < 0.12, name
+            assert bool(jnp.all(var > 0)), name
+
+    def test_full_likelihood_psd_and_consistent(self):
+        X, Y, _, _ = make_data(n=50, p=5, q=2)
+        m = pl.ProjectedGPModel(X, Y, 5, 2, init_lmc_coeffs=True,
+                                BDN=False, diagonal_B=False, scalar_B=False)
+        fl = m.full_likelihood()
+        Sigma = np.asarray(fl.task_covariance())
+        np.testing.assert_allclose(Sigma, Sigma.T, atol=1e-10)
+        assert np.linalg.eigvalsh(Sigma).min() > 0
+        # B_tilde consistency with the scalar path
+        m2 = pl.ProjectedGPModel(X, Y, 5, 2, init_lmc_coeffs=True,
+                                 BDN=True, scalar_B=True, diagonal_B=True)
+        Bt = np.asarray(m2.B_tilde())
+        assert Bt.shape == (3, 3)
+        np.testing.assert_allclose(Bt, np.diag(np.diag(Bt)), atol=1e-12)
+
+    def test_projected_vs_batch_exact_latents(self):
+        """On orthonormal mixing + shared noise, projected-GP latent posterior
+        equals q independent exact GPs on the projected targets."""
+        X, Y, _, _ = make_data(n=30, p=4, q=2)
+        m = pl.ProjectedGPModel(X, Y, 4, 2, init_lmc_coeffs=True,
+                                BDN=True, scalar_B=True, diagonal_B=True)
+        proj = m.project_data(m.train_y_tasks)
+        lat = m.compute_latent_distrib(X, full_cov=False)
+        lik = pl.GaussianLikelihood(batch_shape=2)
+        lik = lik.replace(raw_noise=m.likelihood.raw_noise,
+                          constraint=m.likelihood.constraint)
+        em = pl.ExactGPModel(X, np.asarray(proj), lik, n_tasks=2, mean_type="zero")
+        em = em.replace(covar_module=m.covar_module)
+        ep = em.posterior(X, full_cov=False)
+        np.testing.assert_allclose(np.asarray(lat.mean), np.asarray(ep.mean), rtol=1e-6)
+
+    def test_compute_loo_shapes(self):
+        X, Y, _, _ = make_data(n=30, p=4, q=2)
+        m = pl.ProjectedGPModel(X, Y, 4, 2, init_lmc_coeffs=True)
+        s2, ym = m.compute_loo()
+        assert s2.shape == (30, 2) and bool(jnp.all(s2 > 0))
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
