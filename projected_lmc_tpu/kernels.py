@@ -121,29 +121,47 @@ class Kernel(Module):
 
 class _StationaryKernel(Kernel):
     has_lengthscale = True
+    _pallas_kind = None  # set by subclasses that have a fused Pallas tile op
 
     def __init__(self, ard_num_dims=1, batch_shape=1, active_dims=None,
-                 lengthscale_prior=None, dtype=jnp.float32):
+                 lengthscale_prior=None, use_pallas=False, dtype=jnp.float32):
         self._setup(batch_shape, active_dims)
         d = int(ard_num_dims) if ard_num_dims else 1
         init = constraints.inv_softplus(jnp.asarray(1.0, dtype))
         # gpytorch shape convention: (batch, 1, d)
         self.raw_lengthscale = jnp.full((self.batch, 1, d), init, dtype=dtype)
         self.lengthscale_prior = lengthscale_prior
+        self.use_pallas = bool(use_pallas)
 
     def _scaled(self, x1, x2):
         ls = self.lengthscale  # (B, 1, d)
         return x1 / ls, x2 / ls
 
+    def _maybe_pallas(self, x1, x2):
+        """Fused Pallas tile path (ops/pallas_kernels.py): inputs are shared
+        across the batch, so the (B, n, d) broadcast collapses to row 0."""
+        if not (self.use_pallas and self._pallas_kind):
+            return None
+        if jax.default_backend() != "tpu":
+            return None
+        from .ops.pallas_kernels import fused_kernel_matrix
+        return fused_kernel_matrix(x1[0], x2[0], self.lengthscale,
+                                   kind=self._pallas_kind)
+
 
 class RBFKernel(_StationaryKernel):
     """k(x,y) = exp(-0.5 |x-y|²/l²), ARD. (gpytorch RBFKernel equivalent)"""
+
+    _pallas_kind = "rbf"
 
     def forward(self, x1, x2, diag=False):
         if diag:
             n = min(x1.shape[-2], x2.shape[-2])
             d2 = jnp.sum(((x1[..., :n, :] - x2[..., :n, :]) / self.lengthscale) ** 2, axis=-1)
             return jnp.exp(-0.5 * d2)
+        fused = self._maybe_pallas(x1, x2)
+        if fused is not None:
+            return fused
         a, b = self._scaled(x1, x2)
         return jnp.exp(-0.5 * _sqdist(a, b))
 
@@ -158,12 +176,16 @@ class MaternKernel(_StationaryKernel):
         assert nu in (0.5, 1.5, 2.5), "nu must be 0.5, 1.5 or 2.5"
         super().__init__(**kwargs)
         self.nu = float(nu)
+        self._pallas_kind = {0.5: "matern05", 1.5: "matern15", 2.5: "matern25"}[self.nu]
 
     def forward(self, x1, x2, diag=False):
         if diag:
             n = min(x1.shape[-2], x2.shape[-2])
             d2 = jnp.sum(((x1[..., :n, :] - x2[..., :n, :]) / self.lengthscale) ** 2, axis=-1)
         else:
+            fused = self._maybe_pallas(x1, x2)
+            if fused is not None:
+                return fused
             a, b = self._scaled(x1, x2)
             d2 = _sqdist(a, b)
         # sqrt with a zero-safe gradient (distance of identical points)

@@ -1,0 +1,90 @@
+"""Pallas TPU kernels: fused kernel-matrix tile construction.
+
+The hot op of every GP step is building K (batch, n, m) from inputs. The
+XLA path materializes the scaled inputs, the cross matmul, the two norm
+vectors, and the elementwise tail as separate HBM tensors; this Pallas kernel
+computes each 128×128 tile in VMEM in one pass — inputs are scaled, the cross
+term hits the MXU, and the stationary profile (RBF / Matern) is applied on the
+VPU before the tile ever leaves the chip. One grid step per (batch, row-tile,
+col-tile).
+
+Use via ``fused_kernel_matrix`` (drop-in equal to kernels.RBFKernel /
+MaternKernel forward, tested to 1e-6 in interpret mode on CPU) or by
+constructing kernels with ``use_pallas=True`` through kernels.handle_covar.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128
+
+
+def _profile(kind: str, d2):
+    """Stationary profile g(r²) on the VPU."""
+    if kind == "rbf":
+        return jnp.exp(-0.5 * d2)
+    r = jnp.sqrt(jnp.maximum(d2, 1e-30))
+    if kind == "matern05":
+        return jnp.exp(-r)
+    if kind == "matern15":
+        c = math.sqrt(3.0) * r
+        return (1.0 + c) * jnp.exp(-c)
+    if kind == "matern25":
+        c = math.sqrt(5.0) * r
+        return (1.0 + c + (5.0 / 3.0) * d2) * jnp.exp(-c)
+    raise ValueError(f"unknown kernel kind {kind!r}")
+
+
+def _tile_kernel(kind, x1_ref, x2_ref, ls_ref, out_ref):
+    # x1_ref: (TILE, d), x2_ref: (TILE, d), ls_ref: (1, 1, d) for this batch el.
+    inv_l = 1.0 / ls_ref[0]                      # (1, d)
+    a = x1_ref[:] * inv_l                        # (TILE, d) VPU
+    b = x2_ref[:] * inv_l
+    cross = jax.lax.dot_general(                 # MXU
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    n1 = jnp.sum(a * a, axis=1, keepdims=True)   # (TILE, 1)
+    n2 = jnp.sum(b * b, axis=1, keepdims=True)   # (TILE, 1)
+    d2 = jnp.maximum(n1 + n2.T - 2.0 * cross, 0.0)
+    out_ref[0] = _profile(kind, d2).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "interpret"))
+def fused_kernel_matrix(x1, x2, lengthscale, kind: str = "matern25",
+                        interpret: bool = False):
+    """K[b, i, j] = g(||(x1_i − x2_j) / l_b||²), shapes:
+    x1 (n, d), x2 (m, d), lengthscale (B, 1, d) -> (B, n, m)."""
+    n, d = x1.shape
+    m = x2.shape[0]
+    B = lengthscale.shape[0]
+    n_pad = (-n) % TILE
+    m_pad = (-m) % TILE
+    x1p = jnp.pad(x1, ((0, n_pad), (0, 0)))
+    x2p = jnp.pad(x2, ((0, m_pad), (0, 0)))
+    np_, mp_ = n + n_pad, m + m_pad
+
+    grid = (B, np_ // TILE, mp_ // TILE)
+    out = pl.pallas_call(
+        functools.partial(_tile_kernel, kind),
+        out_shape=jax.ShapeDtypeStruct((B, np_, mp_), x1.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE, d), lambda b, i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, d), lambda b, i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE, TILE), lambda b, i, j: (b, i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x1p, x2p, lengthscale)
+    return out[:, :n, :m]

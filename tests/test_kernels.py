@@ -1,0 +1,131 @@
+"""Kernel-layer tests: analytic values, composition factory, Pallas parity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from projected_lmc_tpu.kernels import (RBFKernel, MaternKernel, SplineKernel,
+                                       SpectralMixtureKernel, ScaleKernel,
+                                       AdditiveKernel, handle_covar)
+from projected_lmc_tpu.ops.pallas_kernels import fused_kernel_matrix
+
+
+class TestStationary:
+    def test_rbf_analytic(self):
+        k = RBFKernel(ard_num_dims=1, batch_shape=1).set_lengthscale(2.0)
+        x = np.array([[0.0], [1.0]])
+        K = np.asarray(k(x))
+        np.testing.assert_allclose(K[0, 0, 1], np.exp(-0.5 / 4.0), rtol=1e-6)
+        np.testing.assert_allclose(np.diag(K[0]), 1.0, rtol=1e-7)
+
+    def test_matern_analytic(self):
+        x = np.array([[0.0], [0.7]])
+        r = 0.7
+        for nu, expected in [
+            (0.5, np.exp(-r)),
+            (1.5, (1 + np.sqrt(3) * r) * np.exp(-np.sqrt(3) * r)),
+            (2.5, (1 + np.sqrt(5) * r + 5 * r**2 / 3) * np.exp(-np.sqrt(5) * r)),
+        ]:
+            k = MaternKernel(nu=nu, ard_num_dims=1).set_lengthscale(1.0)
+            np.testing.assert_allclose(float(k(x)[0, 0, 1]), expected, rtol=1e-6)
+
+    def test_ard_and_diag_consistency(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((10, 3))
+        k = MaternKernel(nu=2.5, ard_num_dims=3, batch_shape=2)
+        k = k.set_lengthscale(jnp.asarray([[0.5, 1.0, 2.0], [1.0, 1.0, 1.0]]).reshape(2, 1, 3))
+        K = np.asarray(k(x))
+        d = np.asarray(k(x, diag=True))
+        np.testing.assert_allclose(d, np.stack([np.diag(K[0]), np.diag(K[1])]),
+                                   atol=1e-12)
+
+    def test_spline_matches_reference_formula(self):
+        """SplineKernel vs the literal formula at projected_lmc.py:26-35."""
+        rng = np.random.default_rng(1)
+        x1 = rng.random((6, 2))
+        x2 = rng.random((5, 2))
+        k = SplineKernel(batch_shape=1)
+        K = np.asarray(k(x1, x2))[0]
+        mins = np.minimum(x1[:, None, :], x2[None, :, :])
+        maxs = np.maximum(x1[:, None, :], x2[None, :, :])
+        expected = np.prod(1 + mins * maxs + 0.5 * mins**2 * (maxs - mins / 3), axis=-1)
+        np.testing.assert_allclose(K, expected, rtol=1e-12)
+        d = np.asarray(k(x1, diag=True))[0]
+        np.testing.assert_allclose(d, np.prod(1 + x1**2 + x1**3 / 3, axis=-1),
+                                   rtol=1e-12)
+
+    def test_spectral_mixture_psd_and_stationary(self):
+        rng = np.random.default_rng(2)
+        x = np.sort(rng.random(12))[:, None]
+        k = SpectralMixtureKernel(num_mixtures=3, ard_num_dims=1, batch_shape=1)
+        k = k.initialize_from_data(x, rng.standard_normal(12))
+        K = np.asarray(k(x))[0]
+        np.testing.assert_allclose(K, K.T, atol=1e-10)
+        assert np.linalg.eigvalsh(K).min() > -1e-8
+        d = np.asarray(k(x, diag=True))[0]
+        np.testing.assert_allclose(d, np.diag(K), atol=1e-10)
+
+
+class TestFactory:
+    def test_decomp_additive(self):
+        """decomp=[[0,1],[1,2]] -> k1(x0,x1)+k2(x1,x2), each scaled
+        (projected_lmc.py:117,159-162)."""
+        cov = handle_covar(RBFKernel, dim=3, decomp=[[0, 1], [1, 2]], n_funcs=2)
+        assert isinstance(cov, AdditiveKernel)
+        assert len(cov.kernels) == 2
+        assert all(isinstance(k, ScaleKernel) for k in cov.kernels)
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((7, 3))
+        K = np.asarray(cov(x))
+        k1 = np.asarray(cov.kernels[0](x))
+        k2 = np.asarray(cov.kernels[1](x))
+        np.testing.assert_allclose(K, k1 + k2, rtol=1e-12)
+        # active dims actually differ
+        x2 = x.copy()
+        x2[:, 2] += 1.0  # only affects the second subkernel
+        np.testing.assert_allclose(np.asarray(cov.kernels[0](x2)), k1, rtol=1e-12)
+
+    def test_prior_scales_initialize_lengthscales(self):
+        ps = np.array([0.3, 0.6, 0.9])
+        cov = handle_covar(MaternKernel, dim=3, prior_scales=ps,
+                           prior_width=np.array([1.0, 1.0, 1.0]),
+                           outputscales=True, n_funcs=1)
+        np.testing.assert_allclose(np.asarray(cov.lengthscale)[0, 0], ps, rtol=1e-5)
+        # prior log prob is finite and differentiable
+        lp = cov.prior_log_prob()
+        assert np.isfinite(float(lp))
+
+    def test_prior_width_required(self):
+        with pytest.raises(ValueError):
+            handle_covar(RBFKernel, dim=2, prior_scales=np.array([1.0, 1.0]))
+
+    def test_outputscale(self):
+        cov = handle_covar(RBFKernel, dim=1, outputscales=True, n_funcs=3)
+        assert isinstance(cov, ScaleKernel)
+        x = np.linspace(0, 1, 5)[:, None]
+        K = np.asarray(cov(x))
+        assert K.shape == (3, 5, 5)
+
+
+class TestPallasParity:
+    @pytest.mark.parametrize("kind,maker", [
+        ("rbf", lambda: RBFKernel(ard_num_dims=3, batch_shape=2)),
+        ("matern25", lambda: MaternKernel(nu=2.5, ard_num_dims=3, batch_shape=2)),
+        ("matern15", lambda: MaternKernel(nu=1.5, ard_num_dims=3, batch_shape=2)),
+    ])
+    def test_fused_matches_reference(self, kind, maker):
+        rng = np.random.default_rng(0)
+        x1 = rng.standard_normal((140, 3)).astype(np.float32)
+        x2 = rng.standard_normal((70, 3)).astype(np.float32)
+        ker = maker().set_lengthscale(
+            jnp.asarray([[0.5, 1.0, 2.0], [1.5, 0.7, 0.9]]).reshape(2, 1, 3))
+        ref = np.asarray(ker(x1, x2))
+        got = np.asarray(fused_kernel_matrix(
+            jnp.asarray(x1), jnp.asarray(x2),
+            ker.lengthscale.astype(jnp.float32), kind=kind, interpret=True))
+        np.testing.assert_allclose(got, ref, atol=5e-6, rtol=5e-5)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
