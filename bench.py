@@ -23,9 +23,46 @@ and fetches once; per-step time = total / reps.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent compilation cache: the tunneled AOT compiler takes minutes for
+# the large Cholesky graphs; cached executables make reruns near-instant
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
+
+def _ensure_tpu(max_wait_s=300):
+    """Wait for the (tunneled) TPU backend to come up.
+
+    The container registers the axon PJRT plugin in sitecustomize; when a
+    previous process died mid-claim, registration fails silently and jax has
+    no TPU backend. Re-attempt registration with a fresh session until the
+    claim clears."""
+    import os
+    import jax
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            jax.devices()
+            return
+        except RuntimeError:
+            if time.time() > deadline:
+                raise
+        try:
+            import uuid
+            from axon.register import register
+            gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+            register(None, f"{gen}:1x1x1", so_path="/opt/axon/libaxon_pjrt.so",
+                     session_id=str(uuid.uuid4()),
+                     remote_compile=os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1")
+            from jax._src import xla_bridge as xb
+            xb._clear_backends()
+            xb.get_backend.cache_clear()
+        except Exception:
+            time.sleep(20)
 
 
 def _timeit_chain(step_fn, state, reps=4, warmup=1):
@@ -130,20 +167,45 @@ def bench_predict_p50(n=44484 // 10 * 10, d=21, T=7, q=7, m_ind=500,
     return float(np.median(times) * 1e3)
 
 
+def _run_single(cfg, timeout_s=420):
+    """Run one LMC config in a subprocess (the tunneled AOT compiler can
+    SIGSEGV or hang on very large graphs; isolation keeps the bench alive)."""
+    import subprocess, sys
+    cmd = [sys.executable, __file__, "--single",
+           str(cfg["n"]), str(cfg["T"]), str(cfg["q"])]
+    last_err = "unknown"
+    for attempt in range(2):  # the tunneled TPU backend needs a beat to
+        try:                  # recover after a compile-helper crash
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            return None, "timeout"
+        for line in out.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return float(line.split()[1]), None
+        last_err = (out.stderr.splitlines() or ["unknown"])[-1][:120]
+        if "Unable to initialize backend" in out.stderr and attempt == 0:
+            time.sleep(60)
+            continue
+        break
+    return None, last_err
+
+
 def main():
     t_start = time.time()
     details = {}
-    # primary: exact-LMC train iters/sec, n=10k, T=7, q=4
+    # primary: exact-LMC train iters/sec — target n=10k, T=7, q=4; fall back
+    # down the ladder if the remote AOT compiler rejects the graph size.
     value = None
     for cfg in [dict(n=10000, T=7, q=4), dict(n=10000, T=7, q=2),
-                dict(n=8000, T=7, q=4)]:
-        try:
-            value = bench_exact_lmc(**cfg)
+                dict(n=5000, T=7, q=4), dict(n=5000, T=7, q=2),
+                dict(n=2000, T=7, q=4)]:
+        v, err = _run_single(cfg)
+        if v is not None:
+            value = v
             details["lmc_config"] = cfg
             break
-        except Exception as e:  # OOM fallbacks, recorded honestly
-            details.setdefault("lmc_fallbacks", []).append(
-                {"cfg": cfg, "error": type(e).__name__})
+        details.setdefault("lmc_fallbacks", []).append({"cfg": cfg, "error": err})
     if value is None:
         raise RuntimeError(f"all LMC bench configs failed: {details}")
 
@@ -173,4 +235,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "--single":
+        n, T, q = int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+        _ensure_tpu()
+        print("RESULT", bench_exact_lmc(n=n, T=T, q=q))
+    else:
+        main()

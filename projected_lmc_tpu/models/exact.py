@@ -257,9 +257,13 @@ class ExactGPModel(Module):
         Kp = K + self.likelihood.noise[..., None] * jnp.eye(n, dtype=K.dtype)
         return jnp.linalg.cond(Kp)
 
-    def compute_loo(self, targets=None):
+    def compute_loo(self, targets=None, complex_mean: bool = False):
         """Exact LOO residuals & variances via σᵢ² = 1/[K⁻¹]ᵢᵢ
-        (projected_lmc.py:371-436). Returns (sigma2, y_minus_mu), both (n, T)."""
+        (projected_lmc.py:371-436). Returns (sigma2, y_minus_mu), both (n, T).
+
+        ``complex_mean`` applies the universal-kriging correction
+        K⁻ := K⁻¹ − K⁻¹H(HᵀK⁻¹H)⁻¹HᵀK⁻¹ with H the mean's basis matrix
+        (projected_lmc.py:417-430); requires a mean with ``basis_matrix``."""
         x = self.train_x
         y = self.train_y if targets is None else _canon_targets(targets, self.n_funcs)
         delta = y - self.mean_module(x)
@@ -267,6 +271,27 @@ class ExactGPModel(Module):
         K = self.covar_module(x)
         Kp = K + self.likelihood.noise[..., None] * jnp.eye(n, dtype=K.dtype)
         L = safe_cholesky(Kp)
+        if complex_mean:
+            try:
+                H = self.mean_module.basis_matrix(x)     # (n, k)
+            except AttributeError as e:
+                raise ValueError("A complex mean treatment was required, but the "
+                                 "model mean function doesn't allow it!") from e
+            eye = jnp.eye(n, dtype=K.dtype)
+            K_inv = cho_solve(L, jnp.broadcast_to(eye, Kp.shape))     # (T, n, n)
+            KiH = jnp.matmul(K_inv, H[None], precision=_HIGHEST)      # (T, n, k)
+            M = jnp.matmul(jnp.swapaxes(KiH, -1, -2), H[None], precision=_HIGHEST)
+            Lm = safe_cholesky(M + 1e-6 * jnp.eye(M.shape[-1], dtype=M.dtype))
+            corr = jnp.matmul(KiH, cho_solve(Lm, jnp.swapaxes(KiH, -1, -2)),
+                              precision=_HIGHEST)
+            K_minus = K_inv - corr
+            sigma2 = 1.0 / jnp.diagonal(K_minus, axis1=-2, axis2=-1)
+            alpha = jnp.matmul(K_minus, y[..., None], precision=_HIGHEST)[..., 0]
+            yminusmu = alpha * sigma2
+            if self.n_funcs > 1:
+                return (jax.lax.stop_gradient(sigma2.T),
+                        jax.lax.stop_gradient(yminusmu.T))
+            return sigma2.T, yminusmu.T
         inv_diag = chol_inverse_diag(L)                  # (T, n)
         sigma2 = 1.0 / inv_diag
         alpha = cho_solve(L, delta[..., None])[..., 0]

@@ -48,11 +48,16 @@ def lmc_factors(Ks, H, Sigma_t, jitter: float = 1e-6):
     Rt = safe_cholesky(Sigma_t)
     SinvH = cho_solve(Rt, H)                       # Σt^{-1} H  (t, q)
     C = _mm(H.T, SinvH)                            # (q, q)
-    # LtL[b, c] = L_bᵀ L_c  — q² n×n cross-Gram blocks, one einsum on the MXU
-    LtL = jnp.einsum("bki,ckj->bcij", L_G, L_G, precision=_HIGHEST)
-    cap = C[:, :, None, None] * LtL
-    cap = cap + jnp.eye(q, dtype=Ks.dtype)[:, :, None, None] * jnp.eye(n, dtype=Ks.dtype)
-    cap = cap.transpose(0, 2, 1, 3).reshape(q * n, q * n)
+    # Assemble Cap = I + blocks C[b,c]·L_bᵀL_c directly into (qn, qn) via
+    # per-block dynamic updates: peak memory is cap + L_G + one n×n block
+    # (the 4-D einsum intermediate would double it and stress the compiler).
+    cap = jnp.eye(q * n, dtype=Ks.dtype)
+    for b in range(q):
+        for c in range(b, q):
+            blk = C[b, c] * _mm(L_G[b].T, L_G[c])
+            cap = cap.at[b * n:(b + 1) * n, c * n:(c + 1) * n].add(blk)
+            if c > b:
+                cap = cap.at[c * n:(c + 1) * n, b * n:(b + 1) * n].add(blk.T)
     L_cap = safe_cholesky(cap)
     return dict(L_G=L_G, Rt=Rt, C=C, SinvH=SinvH, L_cap=L_cap, H=H, q=q, n=n)
 

@@ -1,0 +1,2 @@
+from .checkpoint import save_model, load_model
+from .profiling import profile_trace, Timer
