@@ -109,18 +109,23 @@ def bench_exact_lmc(n=10000, T=7, q=4, seed=0):
     tx = optax.adamw(1e-2)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(carry):
-        params, opt_state = carry
-        def neg_loss(p):
-            return -combine(p, static).mll()
-        loss, grads = jax.value_and_grad(neg_loss)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state
+    STEPS = 4  # steps fused per dispatch (lax.scan) — amortizes tunnel latency
 
-    dt = _timeit_chain(step, (params, opt_state), reps=3, warmup=1)
-    return 1.0 / dt
+    @jax.jit
+    def multi_step(carry):
+        def body(c, _):
+            p, o = c
+            def neg_loss(pp):
+                return -combine(pp, static).mll()
+            loss, grads = jax.value_and_grad(neg_loss)(p)
+            updates, o = tx.update(grads, o, p)
+            p = optax.apply_updates(p, updates)
+            return (p, o), loss
+        carry, _ = jax.lax.scan(body, carry, None, length=STEPS)
+        return carry
+
+    dt = _timeit_chain(multi_step, (params, opt_state), reps=2, warmup=1)
+    return STEPS / dt
 
 
 def bench_cholesky(n=8192, reps=8):

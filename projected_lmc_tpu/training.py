@@ -46,7 +46,7 @@ def fit(model, loss_fn: Callable = None, n_iter: int = 10000, lr: float = 1e-2,
         schedule=None, loss_thresh: float = 2.5e-6, patience: int = 500,
         criterion: str = "max", weight_decay: float = 1e-2,
         print_loss: bool = False, freq_print: int = 1000,
-        block_every: int = 1):
+        block_every: int = 1, scan_steps: int = 1):
     """Train ``model`` by maximizing ``loss_fn(model)`` (an MLL; the loop
     minimizes −MLL like the reference).
 
@@ -54,9 +54,14 @@ def fit(model, loss_fn: Callable = None, n_iter: int = 10000, lr: float = 1e-2,
     loss). AdamW with weight_decay=1e-2 matches torch.optim.AdamW defaults used
     throughout the reference.
 
-    ``block_every``: how often to synchronize on the loss for the plateau test.
-    1 reproduces the reference's per-iteration check; larger values pipeline
-    more device work per host sync (plateau checks then use the sampled loss).
+    ``scan_steps``: steps fused into one XLA program via ``lax.scan`` — one
+    host↔device dispatch per chunk instead of per iteration (essential when
+    dispatch latency rivals step time). All per-iteration losses come back as
+    an array, so the plateau test sees every loss exactly as the reference's
+    per-iteration check does; early stopping lands on a chunk boundary (an
+    overshoot of < scan_steps iterations).
+
+    ``block_every``: per-iteration-mode host-sync cadence (scan_steps == 1).
     """
     if loss_fn is None:
         loss_fn = lambda m: m.mll()
@@ -65,11 +70,11 @@ def fit(model, loss_fn: Callable = None, n_iter: int = 10000, lr: float = 1e-2,
 
     mask = trainable_mask(model)
     params, static = partition(model, mask)
+    # iteration counter lives in the carry so the lr schedule stays exact
     tx = optax.adamw(learning_rate=schedule, weight_decay=weight_decay)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, opt_state, static):
+    def one_step(params, opt_state, static):
         def neg_loss(p):
             return -loss_fn(combine(p, static))
         loss, grads = jax.value_and_grad(neg_loss)(params)
@@ -77,36 +82,72 @@ def fit(model, loss_fn: Callable = None, n_iter: int = 10000, lr: float = 1e-2,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    if scan_steps > 1:
+        @jax.jit
+        def multi_step(params, opt_state, static):
+            def body(carry, _):
+                p, o = carry
+                p, o, loss = one_step(p, o, static)
+                return (p, o), loss
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), None, length=scan_steps)
+            return params, opt_state, losses
+    else:
+        step = jax.jit(one_step)
+
     losses = []
     plateau_id = 0
     last_loss = 1e-9
     deltas = np.zeros(patience)
     effective_n_iter = n_iter
     start = time.time()
-    for i in range(n_iter):
-        params, opt_state, loss = step(params, opt_state, static)
-        if i % block_every == 0 or i == n_iter - 1:
-            new_loss = float(loss)
-            losses.append(new_loss)
-            if print_loss and i % freq_print == 0:
-                print(f"iter {i}: loss {new_loss:.6f}")
-            if criterion == "max":
-                if i > 0 and abs(1 - new_loss / last_loss) < loss_thresh:
-                    plateau_id += 1
-                    if plateau_id > patience:
-                        effective_n_iter = i
-                        break
-                else:
-                    plateau_id = 0
-            elif criterion == "mean":
-                deltas[1:] = deltas[:-1]
-                deltas[0] = abs(1 - new_loss / last_loss)
-                if i >= patience and deltas.mean() < loss_thresh:
+
+    def check_plateau(i, new_loss):
+        nonlocal plateau_id, last_loss
+        if criterion == "max":
+            if i > 0 and abs(1 - new_loss / last_loss) < loss_thresh:
+                plateau_id += 1
+                if plateau_id > patience:
+                    return True
+            else:
+                plateau_id = 0
+        elif criterion == "mean":
+            deltas[1:] = deltas[:-1]
+            deltas[0] = abs(1 - new_loss / last_loss)
+            if i >= patience and deltas.mean() < loss_thresh:
+                return True
+        else:
+            raise ValueError("Criterion not recognized")
+        last_loss = new_loss
+        return False
+
+    if scan_steps > 1:
+        i = 0
+        while i < n_iter:
+            params, opt_state, chunk_losses = multi_step(params, opt_state, static)
+            stop = False
+            for j, lv in enumerate(np.asarray(chunk_losses)):
+                losses.append(float(lv))
+                if print_loss and (i + j) % freq_print == 0:
+                    print(f"iter {i + j}: loss {float(lv):.6f}")
+                if check_plateau(i + j, float(lv)):
+                    effective_n_iter = i + j
+                    stop = True
+                    break
+            i += scan_steps
+            if stop:
+                break
+    else:
+        for i in range(n_iter):
+            params, opt_state, loss = step(params, opt_state, static)
+            if i % block_every == 0 or i == n_iter - 1:
+                new_loss = float(loss)
+                losses.append(new_loss)
+                if print_loss and i % freq_print == 0:
+                    print(f"iter {i}: loss {new_loss:.6f}")
+                if check_plateau(i, new_loss):
                     effective_n_iter = i
                     break
-            else:
-                raise ValueError("Criterion not recognized")
-            last_loss = new_loss
     train_time = time.time() - start
 
     trained = combine(params, static)
