@@ -2,10 +2,12 @@
 
 Primary metric (BASELINE.json): exact-LMC train iters/sec at n=10k, T=7
 (n_latents=4, Matern kernel) — one full jit-compiled training iteration =
-forward MLL (batched latent Cholesky + qn×qn Woodbury capacitance) + gradients
-+ AdamW update. The reference (gpytorch on A100) evaluates the same MLL by
-preconditioned CG + stochastic Lanczos logdet inside a Python-stepped eager
-loop.
+forward MLL + gradients + AdamW update. At this scale the MLL runs matrix-free
+(ops/iterative.py): Jacobi-preconditioned CG for the solves + stochastic
+Lanczos quadrature for the logdet with Hutchinson gradients — the same
+estimator family gpytorch uses on the A100 (CG + Lanczos inside an eager
+Python loop), but compiled to one XLA program whose hot ops are batched MXU
+matmuls, with probes redrawn per step.
 
 vs_baseline: measured iters/sec divided by 0.5 it/s — a documented *estimate*
 of gpytorch exact-LMC step throughput at this size on A100 (no published
@@ -13,35 +15,81 @@ number exists; BASELINE.md notes the reference repo publishes none). The
 driver's north star is >10× that baseline, i.e. vs_baseline > 10 means target
 met.
 
-Secondary details (same JSON object): Cholesky GFLOP/s at n=8192 and
-projected-LMC SGPR predict p50 latency on SARCOS-like shapes (44k×21 train,
-m=500 inducing, 4.4k test points).
+Budget discipline (round-1 postmortem: rc=124, all results lost):
+  * one global deadline (BENCH_DEADLINE_S, default 450 s) — a SIGALRM handler
+    prints whatever has been collected as the final JSON line and exits 0;
+  * the config ladder runs smallest-first so a number always lands before the
+    target scale is attempted;
+  * partial state is checkpointed to .bench_partial.json after every stage;
+  * per-config subprocess isolation (the tunneled AOT compiler can SIGSEGV on
+    large graphs) with timeouts bounded by the remaining budget.
+
+Secondary details (same JSON object, best-effort): Cholesky GFLOP/s at
+n=8192, projected-LMC SGPR predict p50 on SARCOS-like shapes, and the
+Pallas-vs-XLA fused kernel-matrix build time.
 
 Timing methodology: the tunneled TPU adds ~25 ms host↔device roundtrip per
-fetch, so each measurement dispatches `reps` dependent steps asynchronously
-and fetches once; per-step time = total / reps.
+fetch, so measurements dispatch several dependent steps and fetch once.
 """
 
 import json
 import os
+import signal
+import sys
 import time
 
 import numpy as np
 
 # persistent compilation cache: the tunneled AOT compiler takes minutes for
-# the large Cholesky graphs; cached executables make reruns near-instant
+# large graphs; cached executables make reruns near-instant
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 450))
+T_START = time.time()
+A100_GPYTORCH_ITERS_PER_SEC_EST = 0.5  # documented estimate; see docstring
 
-def _ensure_tpu(max_wait_s=300):
-    """Wait for the (tunneled) TPU backend to come up.
+STATE = {
+    "metric": "exact-LMC train iters/sec (n=10k, T=7, q=4, Matern, full jit step)",
+    "value": None,
+    "unit": "iters/sec",
+    "vs_baseline": None,
+    "details": {},
+}
 
-    The container registers the axon PJRT plugin in sitecustomize; when a
-    previous process died mid-claim, registration fails silently and jax has
-    no TPU backend. Re-attempt registration with a fresh session until the
-    claim clears."""
-    import os
+
+def _remaining():
+    return DEADLINE_S - (time.time() - T_START)
+
+
+def _emit(final: bool = True):
+    out = dict(STATE)
+    out["details"] = dict(STATE["details"], bench_wall_s=round(time.time() - T_START, 1))
+    if out["value"] is None:
+        out["value"] = 0.0
+        out["vs_baseline"] = 0.0
+        out["details"]["error"] = out["details"].get(
+            "error", "no LMC config completed within the deadline")
+    line = json.dumps(out)
+    if final:
+        print(line)
+        sys.stdout.flush()
+    try:
+        with open(".bench_partial.json", "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+
+
+def _alarm_handler(signum, frame):
+    STATE["details"]["deadline_hit"] = True
+    _emit(final=True)
+    os._exit(0)
+
+
+def _ensure_tpu(max_wait_s=240):
+    """Wait for the (tunneled) TPU backend to come up — a previous process
+    dying mid-claim can leave registration failed in this interpreter."""
     import jax
     deadline = time.time() + max_wait_s
     while True:
@@ -62,22 +110,7 @@ def _ensure_tpu(max_wait_s=300):
             xb._clear_backends()
             xb.get_backend.cache_clear()
         except Exception:
-            time.sleep(20)
-
-
-def _timeit_chain(step_fn, state, reps=4, warmup=1):
-    """Dispatch `reps` dependent calls, fetch once at the end."""
-    import jax
-    for _ in range(warmup):
-        state = step_fn(state)
-    jax.block_until_ready(state)
-    _sync(state)
-    t0 = time.time()
-    s = state
-    for _ in range(reps):
-        s = step_fn(s)
-    _sync(s)
-    return (time.time() - t0) / reps
+            time.sleep(15)
 
 
 def _sync(tree):
@@ -89,7 +122,9 @@ def _sync(tree):
     float(jnp.sum(leaves[0].ravel()[0]))
 
 
-def bench_exact_lmc(n=10000, T=7, q=4, seed=0):
+def bench_exact_lmc(n=10000, T=7, q=4, seed=0, steps=8, reps=2):
+    """Full training-step throughput: value_and_grad(MLL) + AdamW, ``steps``
+    fused per dispatch via lax.scan with per-step probe redraw."""
     import jax
     import jax.numpy as jnp
     from projected_lmc_tpu.models.multitask import MultitaskGPModel
@@ -109,23 +144,29 @@ def bench_exact_lmc(n=10000, T=7, q=4, seed=0):
     tx = optax.adamw(1e-2)
     opt_state = tx.init(params)
 
-    STEPS = 4  # steps fused per dispatch (lax.scan) — amortizes tunnel latency
-
     @jax.jit
     def multi_step(carry):
         def body(c, _):
-            p, o = c
+            p, o, k = c
+            k, sub = jax.random.split(k)
             def neg_loss(pp):
-                return -combine(pp, static).mll()
+                return -combine(pp, static).mll(key=sub, max_cg_iters=100,
+                                                cg_tol=1e-2)
             loss, grads = jax.value_and_grad(neg_loss)(p)
             updates, o = tx.update(grads, o, p)
             p = optax.apply_updates(p, updates)
-            return (p, o), loss
-        carry, _ = jax.lax.scan(body, carry, None, length=STEPS)
+            return (p, o, k), loss
+        carry, losses = jax.lax.scan(body, carry, None, length=steps)
         return carry
 
-    dt = _timeit_chain(multi_step, (params, opt_state), reps=2, warmup=1)
-    return STEPS / dt
+    state = (params, opt_state, jax.random.PRNGKey(0))
+    state = multi_step(state)           # warmup/compile
+    _sync(state)
+    t0 = time.time()
+    for _ in range(reps):
+        state = multi_step(state)
+    _sync(state)
+    return steps * reps / (time.time() - t0)
 
 
 def bench_cholesky(n=8192, reps=8):
@@ -138,18 +179,21 @@ def bench_cholesky(n=8192, reps=8):
     @jax.jit
     def step(M):
         L = jnp.linalg.cholesky(M)
-        # feed the output back so chained calls stay dependent
-        return M + 0.0 * L[0, 0]
+        return M + 0.0 * L[0, 0]      # keep chained calls dependent
 
-    dt = _timeit_chain(step, K, reps=reps, warmup=1)
+    M = step(K)
+    _sync(M)
+    t0 = time.time()
+    for _ in range(reps):
+        M = step(M)
+    _sync(M)
+    dt = (time.time() - t0) / reps
     return (n**3 / 3) / dt / 1e9, dt * 1e3
 
 
-def bench_predict_p50(n=44484 // 10 * 10, d=21, T=7, q=7, m_ind=500,
-                      n_test=4449, reps=5):
+def bench_predict_p50(n=44480, d=21, T=7, q=7, m_ind=500, n_test=4449, reps=5):
     """Projected-LMC SGPR posterior predict latency (SARCOS full shapes)."""
     import jax
-    import jax.numpy as jnp
     from projected_lmc_tpu.models.projected import ProjectedGPModel
 
     rng = np.random.default_rng(1)
@@ -159,7 +203,6 @@ def bench_predict_p50(n=44484 // 10 * 10, d=21, T=7, q=7, m_ind=500,
     model = ProjectedGPModel(X, Y, T, q, init_lmc_coeffs=True,
                              kernel_type="matern", BDN=True, scalar_B=True,
                              diagonal_B=True, n_inducing_points=m_ind)
-
     predict = jax.jit(lambda mdl, xs: mdl.predict(xs, observed=True))
     mean, var = predict(model, Xt)
     _sync(mean)
@@ -172,75 +215,110 @@ def bench_predict_p50(n=44484 // 10 * 10, d=21, T=7, q=7, m_ind=500,
     return float(np.median(times) * 1e3)
 
 
-def _run_single(cfg, timeout_s=420):
-    """Run one LMC config in a subprocess (the tunneled AOT compiler can
-    SIGSEGV or hang on very large graphs; isolation keeps the bench alive)."""
-    import subprocess, sys
+def bench_pallas_delta(n=8192, m=8192, d=4, q=4, reps=5):
+    """Fused Pallas kernel-matrix build vs the XLA path, (q, n, m) Matern."""
+    import jax
+    import jax.numpy as jnp
+    from projected_lmc_tpu.ops.pallas_kernels import (fused_kernel_matrix,
+                                                      xla_kernel_matrix)
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    x2 = jnp.asarray(rng.standard_normal((m, d)).astype(np.float32))
+    ls = jnp.asarray(rng.uniform(0.5, 2.0, (q, 1, d)).astype(np.float32))
+
+    def timed(fn):
+        out = fn(x1, x2, ls)
+        _sync(out)
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn(x1, x2, ls)
+            _sync(out)
+            times.append(time.time() - t0)
+        return float(np.median(times) * 1e3)
+
+    t_pallas = timed(jax.jit(
+        lambda a, b, l: fused_kernel_matrix(a, b, l, "matern25", False)))
+    t_xla = timed(jax.jit(
+        lambda a, b, l: xla_kernel_matrix(a, b, l, "matern25")))
+    # parity on hardware (max abs error)
+    K1 = fused_kernel_matrix(x1[:512], x2[:512], ls, "matern25", False)
+    K2 = xla_kernel_matrix(x1[:512], x2[:512], ls, "matern25")
+    err = float(jnp.max(jnp.abs(K1 - K2)))
+    return dict(pallas_ms=round(t_pallas, 2), xla_ms=round(t_xla, 2),
+                speedup=round(t_xla / t_pallas, 2), max_abs_err=err)
+
+
+def _run_single(cfg, timeout_s):
+    """Run one LMC config in a subprocess (compile crashes stay isolated)."""
+    import subprocess
     cmd = [sys.executable, __file__, "--single",
            str(cfg["n"]), str(cfg["T"]), str(cfg["q"])]
-    last_err = "unknown"
-    for attempt in range(2):  # the tunneled TPU backend needs a beat to
-        try:                  # recover after a compile-helper crash
-            out = subprocess.run(cmd, capture_output=True, text=True,
-                                 timeout=timeout_s)
-        except subprocess.TimeoutExpired:
-            return None, "timeout"
-        for line in out.stdout.splitlines():
-            if line.startswith("RESULT "):
-                return float(line.split()[1]), None
-        last_err = (out.stderr.splitlines() or ["unknown"])[-1][:120]
-        if "Unable to initialize backend" in out.stderr and attempt == 0:
-            time.sleep(60)
-            continue
-        break
-    return None, last_err
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None, "timeout"
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return float(line.split()[1]), None
+    err = (out.stderr.strip().splitlines() or ["unknown"])[-1][:160]
+    return None, err
 
 
 def main():
-    t_start = time.time()
-    details = {}
-    # primary: exact-LMC train iters/sec — target n=10k, T=7, q=4; fall back
-    # down the ladder if the remote AOT compiler rejects the graph size.
-    value = None
-    for cfg in [dict(n=10000, T=7, q=4), dict(n=10000, T=7, q=2),
-                dict(n=5000, T=7, q=4), dict(n=5000, T=7, q=2),
-                dict(n=2000, T=7, q=4)]:
-        v, err = _run_single(cfg)
-        if v is not None:
-            value = v
-            details["lmc_config"] = cfg
+    signal.signal(signal.SIGALRM, _alarm_handler)
+    signal.alarm(max(int(DEADLINE_S) - 10, 30))
+    details = STATE["details"]
+
+    # primary: exact-LMC train iters/sec — ladder SMALLEST-FIRST so a result
+    # always lands; each success overwrites value with the larger config's.
+    for cfg in [dict(n=2000, T=7, q=4), dict(n=5000, T=7, q=4),
+                dict(n=10000, T=7, q=4)]:
+        budget = _remaining() - 45
+        if budget < 60:
+            details.setdefault("skipped", []).append(f"lmc_n{cfg['n']}")
             break
-        details.setdefault("lmc_fallbacks", []).append({"cfg": cfg, "error": err})
-    if value is None:
-        raise RuntimeError(f"all LMC bench configs failed: {details}")
+        v, err = _run_single(cfg, timeout_s=min(budget, 300))
+        if v is not None:
+            STATE["value"] = round(v, 3)
+            STATE["vs_baseline"] = round(v / A100_GPYTORCH_ITERS_PER_SEC_EST, 2)
+            STATE["metric"] = (f"exact-LMC train iters/sec (n={cfg['n']}, "
+                               f"T=7, q=4, Matern, full jit step)")
+            details["lmc_config"] = cfg
+            details[f"lmc_iters_per_sec_n{cfg['n']}"] = round(v, 3)
+        else:
+            details.setdefault("lmc_failures", []).append(
+                {"cfg": cfg, "error": err})
+        _emit(final=False)
 
-    try:
-        gflops, chol_ms = bench_cholesky()
-        details["cholesky_gflops_8192"] = round(gflops, 1)
-        details["cholesky_ms_8192"] = round(chol_ms, 2)
-    except Exception as e:
-        details["cholesky_error"] = repr(e)
-    try:
-        details["plmc_sgpr_predict_p50_ms"] = round(bench_predict_p50(), 1)
-    except Exception as e:
-        details["predict_error"] = repr(e)
-    details["bench_wall_s"] = round(time.time() - t_start, 1)
+    _ensure_tpu()
+    for name, fn, budget_need in [
+        ("cholesky", lambda: bench_cholesky(), 60),
+        ("pallas", lambda: bench_pallas_delta(), 60),
+        ("predict", lambda: bench_predict_p50(), 90),
+    ]:
+        if _remaining() < budget_need:
+            details.setdefault("skipped", []).append(name)
+            continue
+        try:
+            res = fn()
+            if name == "cholesky":
+                details["cholesky_gflops_8192"] = round(res[0], 1)
+                details["cholesky_ms_8192"] = round(res[1], 2)
+            elif name == "pallas":
+                details["pallas_vs_xla_kernel_build"] = res
+            else:
+                details["plmc_sgpr_predict_p50_ms"] = round(res, 1)
+        except Exception as e:
+            details[f"{name}_error"] = repr(e)[:200]
+        _emit(final=False)
 
-    # assumed gpytorch-on-A100 exact-LMC step rate at this size (no published
-    # reference number; see module docstring) — target is vs_baseline > 10.
-    A100_GPYTORCH_ITERS_PER_SEC_EST = 0.5
-    out = {
-        "metric": "exact-LMC train iters/sec (n=10k, T=7, q=4, Matern, full jit step)",
-        "value": round(value, 3),
-        "unit": "iters/sec",
-        "vs_baseline": round(value / A100_GPYTORCH_ITERS_PER_SEC_EST, 2),
-        "details": details,
-    }
-    print(json.dumps(out))
+    signal.alarm(0)
+    _emit(final=True)
 
 
 if __name__ == "__main__":
-    import sys
     if len(sys.argv) > 1 and sys.argv[1] == "--single":
         n, T, q = int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
         _ensure_tpu()

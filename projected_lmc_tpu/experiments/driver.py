@@ -87,13 +87,16 @@ def _loss_fn_for(name, model):
         return projected_lmc_mll
     if name == "var":
         return lambda m: m.elbo()
-    return lambda m: m.mll()
+    # MultitaskGPModel: thread the per-step PRNG key so the large-scale LMC
+    # CG+SLQ path redraws its Hutchinson probes every iteration (ICM and the
+    # dense LMC path ignore it).
+    return lambda m, key: m.mll(key=key)
 
 
 def train_and_eval(models, X_test, Y_test, n_iter=100000, lr=1e-2, lr_min=1e-3,
                    loss_thresh=2.5e-6, patience=500, criterion="max",
                    print_metrics=True, print_loss=False, test_mask=None,
-                   block_every=1):
+                   block_every=1, scan_steps=None):
     """Shared training + prediction + metrics (experiments.py:256-347)."""
     results = {}
     trained = {}
@@ -103,7 +106,8 @@ def train_and_eval(models, X_test, Y_test, n_iter=100000, lr=1e-2, lr_min=1e-3,
         model_t, info = fit(model, loss_fn, n_iter=n_iter, lr=lr,
                             schedule=schedule, loss_thresh=loss_thresh,
                             patience=patience, criterion=criterion,
-                            print_loss=print_loss, block_every=block_every)
+                            print_loss=print_loss, block_every=block_every,
+                            scan_steps=scan_steps)
         trained[name] = model_t
 
         start = time.time()
@@ -169,6 +173,8 @@ def run_study(v_test: str = "void", v_test_2: str = "void",
 
     results = {}
     df = None
+    df_conv = None
+    n_success = None
     updated_cols = None
     for i_run in range(n_random_runs):
         for i_v, vval in enumerate(v_vals[v_test]):
@@ -202,11 +208,32 @@ def run_study(v_test: str = "void", v_test_2: str = "void",
             df = frame.copy()
             updated_cols = df.columns.difference(list(v.keys()) + ["model"])
             df[updated_cols] = 0.0
+            if reject_nonconverged_runs:
+                # separate accumulator over converged runs only
+                # (experiments.py:353-365)
+                df_conv = df.copy().rename(
+                    index={label: label + "_conv" for label in df.index})
+                n_success = {label + "_conv": 0 for label in df.index}
         df[updated_cols] += frame[updated_cols]
+        if reject_nonconverged_runs:
+            thresh = max(0.2, 5.0 * float(v["mu_noise"]))
+            for label in frame.index:
+                if results[label]["mean_err_abs"] < thresh:
+                    df_conv.loc[label + "_conv", updated_cols] += \
+                        frame.loc[label, updated_cols]
+                    n_success[label + "_conv"] += 1
 
         if (i_run + 1) in landmarks and export_results:
             df_part = df.copy()
             df_part[updated_cols] = df_part[updated_cols] / (i_run + 1)
+            if reject_nonconverged_runs:
+                df_conv_part = df_conv.copy()
+                df_part["n_sucess_runs"] = float(i_run + 1)
+                df_conv_part["n_sucess_runs"] = pd.Series(n_success)
+                for label, count in n_success.items():
+                    df_conv_part.loc[label, updated_cols] = \
+                        df_conv_part.loc[label, updated_cols] / max(count, 1)
+                df_part = pd.concat([df_part, df_conv_part], axis=0)
             partial = path[:-4] + f"_{i_run + 1}runs.csv"
             df_part.to_csv(partial)
     return results

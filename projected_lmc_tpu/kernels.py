@@ -146,7 +146,7 @@ class _StationaryKernel(Kernel):
             return None
         from .ops.pallas_kernels import fused_kernel_matrix
         return fused_kernel_matrix(x1[0], x2[0], self.lengthscale,
-                                   kind=self._pallas_kind)
+                                   self._pallas_kind, False)
 
 
 class RBFKernel(_StationaryKernel):

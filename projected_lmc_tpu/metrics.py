@@ -24,7 +24,9 @@ def compute_metrics(y_test, y_pred, sigma_pred, loss, H_guess_hid, n_iter,
     sigma_pred = sigma_pred.squeeze()
     alpha_CI = np.mean((errs_abs < 2 * sigma_pred).astype(float))
     err2 = errs_abs**2
-    R2_list = 1 - np.mean(err2, axis=0) / np.var(y_test, axis=0)
+    # ddof=1 matches torch.var's unbiased default used by the reference
+    # (experiments.py:94); ddof=0 drifts on small test sets.
+    R2_list = 1 - np.mean(err2, axis=0) / np.var(y_test, axis=0, ddof=1)
     PVA_list = np.log(np.mean(err2 / sigma_pred**2, axis=0))
     noise_full = (H_guess_hid**2).sum() / y_test.shape[1]  # mean diag coefficient
 

@@ -33,13 +33,27 @@ from ..ops.cholesky import (safe_cholesky, solve_triangular, cho_solve,
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
-def _canon_targets(train_y, n_tasks):
-    """Accepts (n,), (n, T) or (T, n); stores (T, n)."""
+def _canon_targets(train_y, n_tasks, orientation: str = "auto"):
+    """Accepts (n,), (n, T) or (T, n); stores (T, n).
+
+    ``orientation`` resolves the square-input ambiguity (n == n_tasks):
+    "tn" asserts the input is already (T, n) (internal callers passing
+    projected (q, n) targets), "nt" asserts (n, T); "auto" infers by shape
+    and treats a square input as (n, T) — the user-facing convention.
+    """
     y = jnp.asarray(train_y)
     if y.ndim == 1:
         if n_tasks != 1:
             raise ValueError("1-d targets require n_tasks == 1")
         return y[None, :]
+    if orientation == "tn":
+        if y.shape[0] != n_tasks:
+            raise ValueError(f"expected (T={n_tasks}, n) targets, got {y.shape}")
+        return y
+    if orientation == "nt":
+        if y.shape[1] != n_tasks:
+            raise ValueError(f"expected (n, T={n_tasks}) targets, got {y.shape}")
+        return y.T
     if y.shape[0] == n_tasks and y.shape[1] != n_tasks:
         return y
     return y.T
@@ -127,11 +141,11 @@ class ExactGPModel(Module):
             solve_triangular(Lzz, jnp.swapaxes(Kxz, -1, -2), lower=True), -1, -2)
 
     # -- marginal likelihood pieces -------------------------------------------
-    def log_marginal(self, y=None, x=None):
+    def log_marginal(self, y=None, x=None, orientation: str = "auto"):
         """Per-task log N(y_t; m_t, K_t + σ_t² I) — shape (T,). On the SGPR path
         this is the Titsias bound including the −tr(K−Q)/2σ² correction."""
         x = self.train_x if x is None else x
-        y = self.train_y if y is None else _canon_targets(y, self.n_funcs)
+        y = self.train_y if y is None else _canon_targets(y, self.n_funcs, orientation)
         n = x.shape[0]
         delta = y - self.mean_module(x)
         noise = self.likelihood.noise  # (T, 1)
@@ -173,12 +187,13 @@ class ExactGPModel(Module):
         return -0.5 * (quad + logdet + n * math.log(2 * math.pi)) - trace_term
 
     # -- posterior -------------------------------------------------------------
-    def precompute_posterior(self, targets=None):
+    def precompute_posterior(self, targets=None, orientation: str = "auto"):
         """Factorize the training system once; the functional analog of
         gpytorch's cached prediction strategy (and of the ``set_train_data``
         re-targeting trick at projected_lmc.py:1104,1133 — pass ``targets``)."""
         x = self.train_x
-        y = self.train_y if targets is None else _canon_targets(targets, self.n_funcs)
+        y = self.train_y if targets is None else _canon_targets(
+            targets, self.n_funcs, orientation)
         delta = y - self.mean_module(x)
         noise = self.likelihood.noise
         if self.sgpr:
@@ -257,7 +272,8 @@ class ExactGPModel(Module):
         Kp = K + self.likelihood.noise[..., None] * jnp.eye(n, dtype=K.dtype)
         return jnp.linalg.cond(Kp)
 
-    def compute_loo(self, targets=None, complex_mean: bool = False):
+    def compute_loo(self, targets=None, complex_mean: bool = False,
+                    orientation: str = "auto"):
         """Exact LOO residuals & variances via σᵢ² = 1/[K⁻¹]ᵢᵢ
         (projected_lmc.py:371-436). Returns (sigma2, y_minus_mu), both (n, T).
 
@@ -265,7 +281,8 @@ class ExactGPModel(Module):
         K⁻ := K⁻¹ − K⁻¹H(HᵀK⁻¹H)⁻¹HᵀK⁻¹ with H the mean's basis matrix
         (projected_lmc.py:417-430); requires a mean with ``basis_matrix``."""
         x = self.train_x
-        y = self.train_y if targets is None else _canon_targets(targets, self.n_funcs)
+        y = self.train_y if targets is None else _canon_targets(
+            targets, self.n_funcs, orientation)
         delta = y - self.mean_module(x)
         n = x.shape[0]
         K = self.covar_module(x)

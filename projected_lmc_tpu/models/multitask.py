@@ -28,6 +28,7 @@ from ..likelihoods import MultitaskGaussianLikelihood
 from ..distributions import (MultitaskMultivariateNormal, KronCov, SumKronRank1Cov)
 from ..ops import kron as kron_ops
 from ..ops import woodbury as wb_ops
+from ..ops import iterative as it_ops
 from ..ops.init_ops import init_lmc_coefficients
 from ..ops.cholesky import safe_cholesky, logdet_from_chol, solve_triangular
 from .exact import _resolve, _canon_targets
@@ -105,6 +106,54 @@ class MultitaskGPModel(Module):
         else:
             self.inducing_points = None
 
+    # -- SGPR (Titsias inducing-point) machinery ---------------------------------
+    @property
+    def sgpr(self) -> bool:
+        return self.inducing_points is not None
+
+    def _nystrom_roots(self, x):
+        """Low-rank kernel roots R_b = K_xz L_zz⁻ᵀ, (n_kernels, n, m) — the
+        Nyström factors of gpytorch's InducingPointKernel
+        (projected_lmc.py:302-303), here per latent kernel."""
+        z = self.inducing_points
+        Kzz = self.covar_module(z)
+        m = Kzz.shape[-1]
+        Lzz = safe_cholesky(Kzz + 1e-6 * jnp.eye(m, dtype=Kzz.dtype))
+        Kxz = self.covar_module(x, z)
+        return jnp.swapaxes(
+            solve_triangular(Lzz, jnp.swapaxes(Kxz, -1, -2), lower=True), -1, -2)
+
+    def _sgpr_structure(self, x):
+        """(roots_eff, H_eff, St_eff, titsias) for the low-rank Woodbury MLL.
+
+        ICM reduces to 'LMC with T pseudo-latents': Q ⊗ B = Σ_b Q ⊗ s_b s_bᵀ
+        with s_b the columns of chol(B), so one root set broadcast over T.
+        The Titsias ELBO correction is −tr((I⊗Σt)⁻¹ ((K−Q)⊗B))/2
+        = −½ Σᵢ (Kᵢᵢ−Qᵢᵢ)·tr(Σt⁻¹B) (ICM), resp. per-latent with h_bᵀΣt⁻¹h_b
+        (LMC) — the multitask analog of gpytorch's
+        InducingPointKernelAddedLossTerm."""
+        roots = self._nystrom_roots(x)                          # (k, n, m)
+        k_diag = self.covar_module(x, diag=True)                # (k, n)
+        q_diag = jnp.sum(roots * roots, axis=-1)                # (k, n)
+        traces = jnp.sum(jnp.clip(k_diag - q_diag, min=0.0), axis=-1)  # (k,)
+        Sigma_t = self.likelihood.task_covariance()
+        Rt = safe_cholesky(Sigma_t)
+        if self.model_type == "ICM":
+            B = self.task_covar_matrix()
+            S_B = safe_cholesky(B + 1e-10 * jnp.eye(self.n_tasks, dtype=B.dtype))
+            roots_eff = jnp.broadcast_to(roots[0], (self.n_tasks,) + roots[0].shape)
+            H_eff = S_B                                         # columns mix tasks
+            # tr(Σt⁻¹ B) via the Cholesky of Σt
+            V = solve_triangular(Rt, S_B, lower=True)
+            titsias = -0.5 * traces[0] * jnp.sum(V * V)
+            return roots_eff, H_eff, Sigma_t, titsias
+        H_eff = self.covar_factor[..., 0].T                     # (T, q)
+        St_eff = Sigma_t + jnp.diag(self._lmc_extra_diag())
+        Rt = safe_cholesky(St_eff)
+        V = solve_triangular(Rt, H_eff, lower=True)             # (T, q)
+        titsias = -0.5 * jnp.sum(traces * jnp.sum(V * V, axis=0))
+        return roots, H_eff, St_eff, titsias
+
     # -- structure accessors ---------------------------------------------------
     def task_covar_matrix(self):
         """ICM: B = F Fᵀ + diag(softplus(raw_var)), (T, T) — gpytorch IndexKernel.
@@ -147,13 +196,33 @@ class MultitaskGPModel(Module):
         return jnp.sum(jax.nn.softplus(self.raw_var), axis=0)
 
     # -- marginal likelihood -------------------------------------------------------
-    def mll(self, x=None, y=None):
-        """Exact multitask MLL / (n·T), plus hyper-prior terms."""
+    # dense-Woodbury ceiling: above q·n the (qn)² capacitance stops being the
+    # right tool and the matrix-free CG+SLQ path (ops/iterative.py) takes over —
+    # the same regime where gpytorch switches from Cholesky to CG+Lanczos
+    # (max_cholesky_size, experiments.py:306).
+    DENSE_QN_MAX = 4096
+
+    def mll(self, x=None, y=None, key=None, iterative: bool = None,
+            num_probes: int = 10, max_cg_iters: int = 256,
+            cg_tol: float = 1e-2, slq_steps: int = 20):
+        """Exact multitask MLL / (n·T), plus hyper-prior terms.
+
+        For LMC at large scale (q·n > DENSE_QN_MAX, or ``iterative=True``) the
+        log-prob is evaluated matrix-free by preconditioned CG + stochastic
+        Lanczos quadrature with Hutchinson gradients — pass a fresh ``key``
+        per optimizer step to redraw probes (gpytorch redraws per evaluation).
+        """
         x = self.train_x if x is None else x
         y = self.train_y if y is None else _canon_targets(jnp.asarray(y), self.n_tasks)
         n = x.shape[0]
         Ydelta = y.T - self.mean_module(x).T                    # (n, T)
         Sigma_t = self.likelihood.task_covariance()
+        if self.sgpr:
+            roots, H_eff, St_eff, titsias = self._sgpr_structure(x)
+            fac = wb_ops.lmc_factors_from_roots(roots, H_eff, St_eff)
+            ll = wb_ops.lmc_log_prob(None, H_eff, St_eff, Ydelta, fac=fac) \
+                + titsias
+            return (ll + self.covar_module.prior_log_prob()) / (n * self.n_tasks)
         if self.model_type == "ICM":
             K = self.covar_module(x)[0]
             B = self.task_covar_matrix()
@@ -162,7 +231,17 @@ class MultitaskGPModel(Module):
             Ks = self.covar_module(x)
             H = self.covar_factor[..., 0].T
             St = Sigma_t + jnp.diag(self._lmc_extra_diag())
-            ll = wb_ops.lmc_log_prob(Ks, H, St, Ydelta)
+            if iterative is None:
+                iterative = self.n_latents * n > self.DENSE_QN_MAX
+            if iterative:
+                if key is None:
+                    key = jax.random.PRNGKey(0)
+                probes = it_ops.draw_probes(key, n, self.n_tasks, num_probes,
+                                            Ydelta.dtype)
+                ll = it_ops.lmc_iterative_log_prob(
+                    Ks, H, St, Ydelta, probes, max_cg_iters, cg_tol, slq_steps)
+            else:
+                ll = wb_ops.lmc_log_prob(Ks, H, St, Ydelta)
         num_data = n * self.n_tasks
         return (ll + self.covar_module.prior_log_prob()) / num_data
 
@@ -171,6 +250,12 @@ class MultitaskGPModel(Module):
         x = self.train_x
         Ydelta = self.train_y.T - self.mean_module(x).T
         Sigma_t = self.likelihood.task_covariance()
+        if self.sgpr:
+            roots, H_eff, St_eff, _ = self._sgpr_structure(x)
+            fac = wb_ops.lmc_factors_from_roots(roots, H_eff, St_eff)
+            alpha = wb_ops.lmc_solve(Ydelta, fac)
+            return dict(kind="sgpr", fac=fac, alpha=alpha, H=H_eff,
+                        Sigma_t=St_eff)
         if self.model_type == "ICM":
             K = self.covar_module(x)[0]
             B = self.task_covar_matrix()
@@ -190,6 +275,15 @@ class MultitaskGPModel(Module):
         if cache is None:
             cache = self.precompute_posterior()
         mean_star = self.mean_module(x_star).T                  # (n*, T)
+        if cache["kind"] == "sgpr":
+            roots_star = self._nystrom_roots(x_star)            # (k, n*, m)
+            if self.model_type == "ICM":
+                roots_star = jnp.broadcast_to(
+                    roots_star[0], (self.n_tasks,) + roots_star[0].shape)
+            mean, var = wb_ops.lmc_sgpr_posterior(
+                roots_star, cache["fac"], cache["alpha"], mean_star,
+                noise=observed)
+            return _MeanVarMT(mean, var)
         if cache["kind"] == "icm":
             K_star = self.covar_module(x_star, self.train_x)[0]  # (n*, n)
             mean = kron_ops.icm_posterior_mean(K_star, cache["B"], cache["alpha"],
@@ -219,7 +313,11 @@ class MultitaskGPModel(Module):
         n = x.shape[0]
         Ydelta = self.train_y.T - self.mean_module(x).T
         Sigma_t = self.likelihood.task_covariance()
-        if self.model_type == "ICM":
+        if self.sgpr:
+            roots, H_eff, St_eff, _ = self._sgpr_structure(x)
+            Ks = jnp.einsum("bik,bjk->bij", roots, roots, precision=_HIGHEST)
+            cov = SumKronRank1Cov(Ks, H_eff, St_eff)
+        elif self.model_type == "ICM":
             cov = KronCov(self.covar_module(x)[0], self.task_covar_matrix(), Sigma_t)
         else:
             H = self.covar_factor[..., 0].T

@@ -289,7 +289,9 @@ class ProjectedGPModel(ExactGPModel):
     def projection_matrix(self):
         """T = Q R⁻ᵀ (+ Q⊥ Mᵀ Σ_P correction), (p, q) (projected_lmc.py:1003-1012)."""
         Q, R, Q_orth = self.lmc_coefficients.QR()
-        H_pinv = solve_triangular(R.T, Q.T, lower=True).T
+        # T = Q R⁻ᵀ so that Y @ T == project_data(Y).T == (R⁻¹QᵀYᵀ)ᵀ and
+        # H @ T == (QR)ᵀ... i.e. Tᵀ H ᵀ = R⁻¹QᵀQR = I_q for any upper R.
+        H_pinv = solve_triangular(R, Q.T, lower=False).T
         if not self.BDN:
             return H_pinv + jnp.matmul(Q_orth, self.M.T, precision=_HIGHEST) \
                 * self.projected_noise()[None, :]
@@ -352,7 +354,7 @@ class ProjectedGPModel(ExactGPModel):
         """Batched latent posterior at x, re-targeting the cached exact GP to the
         projected data (projected_lmc.py:1093-1106 set_train_data trick)."""
         proj = self.project_data(self.train_y_tasks)
-        cache = self.precompute_posterior(targets=proj)
+        cache = self.precompute_posterior(targets=proj, orientation="tn")
         return self.posterior(x, cache=cache, full_cov=full_cov)
 
     def latent_prior(self, x):
@@ -362,7 +364,7 @@ class ProjectedGPModel(ExactGPModel):
     def compute_loo(self):
         """LOO in latent space (projected_lmc.py:1108-1119); returns (n, q)."""
         proj = self.project_data(self.train_y_tasks)
-        return super().compute_loo(targets=proj)
+        return super().compute_loo(targets=proj, orientation="tn")
 
     def __call__(self, x, observed: bool = False, full_cov: bool = False):
         """Eval-mode full posterior: latent posterior mixed up to tasks,

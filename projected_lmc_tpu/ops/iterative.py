@@ -1,0 +1,220 @@
+"""Matrix-free exact-LMC marginal likelihood: PCG solves + SLQ logdet.
+
+The exact LMC covariance  Σ = Σ_b K_b ⊗ h_b h_bᵀ + I_n ⊗ Σt  is genuinely
+(n·T)-dimensional: it admits no joint Kronecker diagonalization (the K_b
+differ per latent) and its dense Woodbury capacitance is (qn)×(qn) — at the
+benchmark scale (n=10k, q=4) a 40k×40k factorization that neither fits HBM
+comfortably nor compiles quickly. The reference (gpytorch 1.11) solves the
+same problem iteratively: preconditioned CG for solves and stochastic Lanczos
+quadrature (SLQ) for the logdet, with Hutchinson trace estimation for the
+logdet gradient (gpytorch inv_quad_logdet; reference call path
+projected_lmc.py:586-589 → gpytorch ExactMarginalLogLikelihood).
+
+This module is the TPU-native equivalent, built so every hot operation is a
+large batched matmul on the MXU:
+
+  * the matvec  Σ·vec(V) = Σ_b K_b (V h_b) h_bᵀ + V Σt  is three einsums over
+    a materialized (q, n, n) kernel stack — O(q n²) per probe, no (nT)² object
+    ever exists;
+  * CG runs all right-hand sides (the targets + s Hutchinson probes) as one
+    batched (r, n, T) state, Jacobi-preconditioned, under lax.while_loop;
+  * the logdet is SLQ: m Lanczos steps with full reorthogonalization per
+    probe, eigh of the (s, m, m) tridiagonals, E[zᵀ log Σ z] averaged;
+  * gradients are hand-derived (custom_vjp) from the standard identities
+        d(−½ yᵀΣ⁻¹y)/dΣ = ½ ααᵀ,      α = Σ⁻¹y
+        d(−½ logdet Σ)/dΣ = −½ Σ⁻¹ ≈ −(1/2s) Σ_i sym(w_i z_iᵀ),  w_i = Σ⁻¹z_i
+    chained onto the Kronecker structure, so the backward pass re-uses the
+    forward CG solves and never differentiates through the iterations.
+
+Everything is deterministic given the probe array; callers draw probes from a
+PRNG key (fresh per optimizer step, like gpytorch's per-evaluation draws) via
+:func:`draw_probes`.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def draw_probes(key, n, t, num_probes, dtype=jnp.float32):
+    """Rademacher probe matrices Z ~ U{±1}, shape (s, n, t)."""
+    return jax.random.rademacher(key, (num_probes, n, t), dtype=dtype)
+
+
+def lmc_matvec(Ks, H, St, V):
+    """Σ · vec(V) in matrix form: Σ_b K_b (V h_b) h_bᵀ + V Σt.
+
+    V: (..., n, T); Ks: (q, n, n); H: (T, q); St: (T, T).
+    """
+    W = jnp.einsum("...nt,tb->...nb", V, H, precision=_HIGHEST)
+    Z = jnp.einsum("bij,...jb->...ib", Ks, W, precision=_HIGHEST)
+    out = jnp.einsum("...nb,tb->...nt", Z, H, precision=_HIGHEST)
+    return out + jnp.matmul(V, St, precision=_HIGHEST)
+
+
+def _jacobi_diag(Ks, H, St):
+    """diag(Σ) as an (n, T) grid: Σ_b K_b[i,i] h_b[t]² + Σt[t,t]."""
+    kdiag = jnp.diagonal(Ks, axis1=-2, axis2=-1)          # (q, n)
+    return (jnp.einsum("bn,tb->nt", kdiag, H * H, precision=_HIGHEST)
+            + jnp.diagonal(St)[None, :])
+
+
+def batched_pcg(matvec, B, Md, max_iters: int = 256, tol: float = 1e-4):
+    """Jacobi-preconditioned CG for r simultaneous (n, T)-shaped RHS.
+
+    B: (r, n, T); Md: (n, T) positive diagonal. Returns X with Σ X_k = B_k.
+    Terminates when every RHS has relative residual < tol, or at max_iters.
+    """
+    def dot(a, b):
+        return jnp.sum(a * b, axis=(-2, -1))              # (r,)
+
+    bnorm = jnp.sqrt(jnp.clip(dot(B, B), 1e-30))
+    X = jnp.zeros_like(B)
+    R = B
+    Z = R / Md
+    P = Z
+    rz = dot(R, Z)
+
+    def cond(state):
+        X, R, Z, P, rz, it = state
+        rel = jnp.sqrt(jnp.clip(dot(R, R), 0.0)) / bnorm
+        return jnp.logical_and(it < max_iters, jnp.max(rel) > tol)
+
+    def body(state):
+        X, R, Z, P, rz, it = state
+        Ap = matvec(P)
+        alpha = rz / jnp.clip(dot(P, Ap), 1e-30)
+        X = X + alpha[:, None, None] * P
+        R = R - alpha[:, None, None] * Ap
+        Z = R / Md
+        rz_new = dot(R, Z)
+        beta = rz_new / jnp.clip(rz, 1e-30)
+        P = Z + beta[:, None, None] * P
+        return X, R, Z, P, rz_new, it + 1
+
+    X, R, *_ = lax.while_loop(cond, body, (X, R, Z, P, rz,
+                                           jnp.array(0, jnp.int32)))
+    return X
+
+
+def slq_logdet(matvec, Z, num_steps: int = 20):
+    """Stochastic Lanczos quadrature estimate of logdet(Σ).
+
+    Z: (s, n, T) Rademacher probes. Runs ``num_steps`` Lanczos iterations per
+    probe with full reorthogonalization (stored basis, one einsum per step),
+    then logdet ≈ mean_i ‖z_i‖² · e₁ᵀ log(T_m) e₁.
+    """
+    s, n, t = Z.shape
+    m = num_steps
+
+    def dot(a, b):
+        return jnp.sum(a * b, axis=(-2, -1))
+
+    beta0 = jnp.sqrt(dot(Z, Z))                           # ‖z‖ = √(nT) exactly
+    q0 = Z / beta0[:, None, None]
+    Qbuf = jnp.zeros((m, s, n, t), Z.dtype)
+
+    def body(carry, j):
+        Qbuf, q_prev, q, beta = carry
+        Qbuf = lax.dynamic_update_slice(Qbuf, q[None], (j, 0, 0, 0))
+        w = matvec(q) - beta[:, None, None] * q_prev
+        alpha = dot(w, q)
+        w = w - alpha[:, None, None] * q
+        # full reorthogonalization (rows of Qbuf beyond j are zero)
+        coeffs = jnp.einsum("msnt,snt->ms", Qbuf, w, precision=_HIGHEST)
+        w = w - jnp.einsum("ms,msnt->snt", coeffs, Qbuf, precision=_HIGHEST)
+        beta_new = jnp.sqrt(jnp.clip(dot(w, w), 1e-30))
+        q_new = w / beta_new[:, None, None]
+        return (Qbuf, q, q_new, beta_new), (alpha, beta_new)
+
+    init = (Qbuf, jnp.zeros_like(q0), q0, jnp.zeros((s,), Z.dtype))
+    _, (alphas, betas) = lax.scan(body, init, jnp.arange(m))
+    alphas = alphas.T                                     # (s, m)
+    betas = betas.T                                       # (s, m) (last unused)
+
+    # tridiagonal T_m per probe → eigh → quadrature
+    idx = jnp.arange(m)
+    T = (jnp.zeros((s, m, m), Z.dtype)
+         .at[:, idx, idx].set(alphas)
+         .at[:, idx[:-1], idx[1:]].set(betas[:, :-1])
+         .at[:, idx[1:], idx[:-1]].set(betas[:, :-1]))
+    evals, evecs = jnp.linalg.eigh(T)
+    # Krylov-converged directions give spurious tiny/negative Ritz values with
+    # ~zero weight; floor them so the log stays finite.
+    floor = 1e-10 * jnp.max(jnp.abs(evals), axis=-1, keepdims=True)
+    evals = jnp.clip(evals, floor)
+    tau2 = evecs[:, 0, :] ** 2                            # (s, m) first components
+    quad = jnp.sum(tau2 * jnp.log(evals), axis=-1)        # e₁ᵀ log(T) e₁
+    return jnp.mean(beta0**2 * quad)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def lmc_iterative_log_prob(Ks, H, St, Ydelta, probes,
+                           max_cg_iters: int = 256, cg_tol: float = 1e-4,
+                           slq_steps: int = 20):
+    """log N(vec(Y); 0, Σ_b K_b ⊗ h_b h_bᵀ + I ⊗ Σt), matrix-free.
+
+    Ks (q, n, n), H (T, q), St (T, T), Ydelta (n, T), probes (s, n, T).
+    The value uses CG for the quadratic form and SLQ for the logdet; the
+    gradient uses the saved CG solves with Hutchinson trace estimation —
+    the same estimator family as gpytorch's inv_quad_logdet backward.
+    """
+    ll, _ = _fwd_impl(Ks, H, St, Ydelta, probes, max_cg_iters, cg_tol, slq_steps)
+    return ll
+
+
+def _fwd_impl(Ks, H, St, Ydelta, probes, max_cg_iters, cg_tol, slq_steps):
+    n, t = Ydelta.shape
+    matvec = lambda V: lmc_matvec(Ks, H, St, V)
+    Md = jnp.clip(_jacobi_diag(Ks, H, St), 1e-10)
+    B = jnp.concatenate([Ydelta[None], probes], axis=0)   # (1+s, n, T)
+    X = batched_pcg(matvec, B, Md, max_iters=max_cg_iters, tol=cg_tol)
+    alpha, W = X[0], X[1:]                                # Σ⁻¹y, Σ⁻¹z_i
+    quad = jnp.sum(Ydelta * alpha)
+    logdet = slq_logdet(matvec, probes, num_steps=slq_steps)
+    ll = -0.5 * (quad + logdet + n * t * math.log(2 * math.pi))
+    return ll, (Ks, H, St, alpha, W, probes)
+
+
+def _bwd_impl(max_cg_iters, cg_tol, slq_steps, res, g):
+    Ks, H, St, alpha, W, Z = res
+    s = max(W.shape[0], 1)
+    # A := dll/dΣ = ½(ααᵀ − Σ⁻¹),  Σ⁻¹ ≈ (1/2s) Σ_i (w_i z_iᵀ + z_i w_iᵀ)
+    Ah = jnp.einsum("nt,tb->nb", alpha, H, precision=_HIGHEST)    # α h_b cols
+    WH = jnp.einsum("snt,tb->snb", W, H, precision=_HIGHEST)
+    ZH = jnp.einsum("snt,tb->snb", Z, H, precision=_HIGHEST)
+
+    # dΣ/dK_b[i,j] = h_b h_bᵀ at block (i,j)  ⇒
+    # dK_b = ½[(αh_b)(αh_b)ᵀ − (1/2s) Σ_i ((Wh_b)(Zh_b)ᵀ + (Zh_b)(Wh_b)ᵀ)]
+    dK_alpha = jnp.einsum("ib,jb->bij", Ah, Ah, precision=_HIGHEST)
+    dK_wz = jnp.einsum("sib,sjb->bij", WH, ZH, precision=_HIGHEST)
+    dK = g * 0.5 * (dK_alpha - (dK_wz + jnp.swapaxes(dK_wz, -1, -2)) / (2 * s))
+
+    # dΣ/dH[t,b] = K_b ⊗ (h_b e_tᵀ + e_t h_bᵀ)  ⇒  for A = Σ_k c_k u_k v_kᵀ:
+    # dH[t,b] = Σ_k c_k [(K_b V_k)[:,t]·(U_k h_b) + U_k[:,t]·(K_b V_k h_b)]
+    KAh = jnp.einsum("bij,jb->ib", Ks, Ah, precision=_HIGHEST)    # K_b (α h_b)
+    dH_a = jnp.einsum("nt,nb->tb", alpha, KAh, precision=_HIGHEST)
+    KWH = jnp.einsum("bij,sjb->sib", Ks, WH, precision=_HIGHEST)
+    KZH = jnp.einsum("bij,sjb->sib", Ks, ZH, precision=_HIGHEST)
+    dH_s = 0.5 * (jnp.einsum("snt,snb->tb", Z, KWH, precision=_HIGHEST)
+                  + jnp.einsum("snt,snb->tb", W, KZH, precision=_HIGHEST))
+    dH = g * (dH_a - dH_s / s)
+
+    # dΣ/dΣt = I ⊗ dSt ⇒ dSt = ½[αᵀα − (1/2s) Σ_i (W_iᵀZ_i + Z_iᵀW_i)]
+    dSt_a = jnp.einsum("nt,nu->tu", alpha, alpha, precision=_HIGHEST)
+    dSt_wz = jnp.einsum("snt,snu->tu", W, Z, precision=_HIGHEST)
+    dSt = g * 0.5 * (dSt_a - (dSt_wz + dSt_wz.T) / (2 * s))
+
+    dY = -g * alpha
+    dZ = jnp.zeros_like(Z)
+    return dK, dH, dSt, dY, dZ
+
+
+lmc_iterative_log_prob.defvjp(_fwd_impl, _bwd_impl)

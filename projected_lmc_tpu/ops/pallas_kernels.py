@@ -56,11 +56,49 @@ def _tile_kernel(kind, x1_ref, x2_ref, ls_ref, out_ref):
     out_ref[0] = _profile(kind, d2).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "interpret"))
+def xla_kernel_matrix(x1, x2, lengthscale, kind: str = "matern25"):
+    """Reference XLA implementation of the same op (used as the VJP rule of
+    the fused Pallas forward — kernels.py's non-pallas path, de-duplicated)."""
+    a = x1[None] / lengthscale                               # (B, n, d)
+    b = x2[None] / lengthscale
+    n1 = jnp.sum(a * a, axis=-1)
+    n2 = jnp.sum(b * b, axis=-1)
+    cross = jnp.matmul(a, jnp.swapaxes(b, -1, -2),
+                       precision=jax.lax.Precision.HIGHEST)
+    d2 = jnp.maximum(n1[..., :, None] + n2[..., None, :] - 2.0 * cross, 1e-30)
+    return _profile(kind, d2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_kernel_matrix(x1, x2, lengthscale, kind: str = "matern25",
                         interpret: bool = False):
     """K[b, i, j] = g(||(x1_i − x2_j) / l_b||²), shapes:
-    x1 (n, d), x2 (m, d), lengthscale (B, 1, d) -> (B, n, m)."""
+    x1 (n, d), x2 (m, d), lengthscale (B, 1, d) -> (B, n, m).
+
+    Differentiable: pallas_call has no autodiff rule, so the backward pass is
+    the VJP of the mathematically identical XLA formulation (one fused
+    recompute — XLA fuses the elementwise tail into the backward matmuls)."""
+    return _pallas_forward(x1, x2, lengthscale, kind, interpret)
+
+
+def _fused_fwd(x1, x2, lengthscale, kind, interpret):
+    out = _pallas_forward(x1, x2, lengthscale, kind, interpret)
+    return out, (x1, x2, lengthscale)
+
+
+def _fused_bwd(kind, interpret, res, g):
+    x1, x2, lengthscale = res
+    _, vjp = jax.vjp(lambda a, b, l: xla_kernel_matrix(a, b, l, kind),
+                     x1, x2, lengthscale)
+    return vjp(g)
+
+
+fused_kernel_matrix.defvjp(_fused_fwd, _fused_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "interpret"))
+def _pallas_forward(x1, x2, lengthscale, kind: str = "matern25",
+                    interpret: bool = False):
     n, d = x1.shape
     m = x2.shape[0]
     B = lengthscale.shape[0]

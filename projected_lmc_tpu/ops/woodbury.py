@@ -35,7 +35,7 @@ def _mm(a, b):
 
 
 def lmc_factors(Ks, H, Sigma_t, jitter: float = 1e-6):
-    """Precompute the Woodbury factors.
+    """Precompute the Woodbury factors from dense latent kernels.
 
     Args:
         Ks: (q, n, n) latent kernel matrices.
@@ -43,23 +43,36 @@ def lmc_factors(Ks, H, Sigma_t, jitter: float = 1e-6):
         Sigma_t: (t, t) task noise covariance.
     Returns dict with L_G (q,n,n), Rt, C (q,q), L_cap (qn,qn).
     """
-    q, n, _ = Ks.shape
     L_G = safe_cholesky(add_jitter(Ks, jitter))
+    return lmc_factors_from_roots(L_G, H, Sigma_t)
+
+
+def lmc_factors_from_roots(roots, H, Sigma_t):
+    """Woodbury factors for Σ = Σ_b (R_b R_bᵀ) ⊗ h_b h_bᵀ + I ⊗ Σt.
+
+    ``roots``: (q, n, r) — the latent-kernel roots. For exact LMC these are
+    the n×n Cholesky factors; for the SGPR/Nyström path they are the n×m
+    low-rank roots K_xz L_zz⁻ᵀ (gpytorch InducingPointKernel,
+    projected_lmc.py:302-303), making the capacitance (qm)×(qm) — tiny.
+    Everything downstream (log_prob, solves, posterior) is root-agnostic.
+    """
+    q, n, r = roots.shape
+    L_G = roots
     Rt = safe_cholesky(Sigma_t)
     SinvH = cho_solve(Rt, H)                       # Σt^{-1} H  (t, q)
     C = _mm(H.T, SinvH)                            # (q, q)
-    # Assemble Cap = I + blocks C[b,c]·L_bᵀL_c directly into (qn, qn) via
-    # per-block dynamic updates: peak memory is cap + L_G + one n×n block
-    # (the 4-D einsum intermediate would double it and stress the compiler).
-    cap = jnp.eye(q * n, dtype=Ks.dtype)
-    for b in range(q):
-        for c in range(b, q):
-            blk = C[b, c] * _mm(L_G[b].T, L_G[c])
-            cap = cap.at[b * n:(b + 1) * n, c * n:(c + 1) * n].add(blk)
-            if c > b:
-                cap = cap.at[c * n:(c + 1) * n, b * n:(b + 1) * n].add(blk.T)
+    # Assemble Cap = I + blocks C[b,c]·L_bᵀL_c as ONE (qn,n)·(n,qn) matmul:
+    # Ltall[m, (c,l)] = L_G[c,m,l] ⇒ (LtallᵀLtall)[(b,k),(c,l)] = (L_bᵀL_c)[k,l],
+    # then the block scaling by C is a broadcast multiply XLA fuses into the
+    # matmul epilogue. (A q² unrolled dynamic-update loop scales HLO size
+    # quadratically in q and chokes the compiler at the synthetic default q=25.)
+    Ltall = jnp.transpose(L_G, (1, 0, 2)).reshape(n, q * r)
+    P = _mm(Ltall.T, Ltall).reshape(q, r, q, r)
+    cap = (C[:, None, :, None] * P).reshape(q * r, q * r) \
+        + jnp.eye(q * r, dtype=roots.dtype)
     L_cap = safe_cholesky(cap)
-    return dict(L_G=L_G, Rt=Rt, C=C, SinvH=SinvH, L_cap=L_cap, H=H, q=q, n=n)
+    return dict(L_G=L_G, Rt=Rt, C=C, SinvH=SinvH, L_cap=L_cap, H=H, q=q, n=n,
+                r=r)
 
 
 def _u_from_y(Ydelta, fac):
@@ -86,11 +99,56 @@ def lmc_solve(Ydelta, fac):
     """α (n, t) with vec(α) = Cov⁻¹ vec(Y)."""
     W, u = _u_from_y(Ydelta, fac)
     s = jnp.einsum("bnk,bn->bk", fac["L_G"], u, precision=_HIGHEST)  # L_Gᵀ u
-    z = cho_solve(fac["L_cap"], s.reshape(-1)).reshape(fac["q"], fac["n"])
+    z = cho_solve(fac["L_cap"], s.reshape(-1)).reshape(fac["q"], fac["r"])
     t2 = jnp.einsum("bnk,bk->bn", fac["L_G"], z, precision=_HIGHEST)  # L_G z (q,n)
     # D^{-1} A t2: (i, t) = Σ_b (Σt^{-1}h_b)[t] t2[b, i]
     corr = _mm(t2.T, fac["SinvH"].T)                # (n, t)
     return W - corr
+
+
+def lmc_sgpr_posterior(roots_star, fac, alpha, mean_star, noise: bool = True,
+                       chunk: int = 512):
+    """Posterior (mean, var-diag) for the low-rank (Nyström) LMC/ICM model.
+
+    With Σ_train = U Uᵀ + D (U = [R_b ⊗ h_b], D = I⊗Σt) and the same factors
+    at test points U* = [R*_b ⊗ h_b], the posterior covariance collapses to
+
+        Cov* = U* U*ᵀ − U* Uᵀ Σ⁻¹ U U*ᵀ = U* Cap⁻¹ U*ᵀ
+
+    (Woodbury algebra: Uᵀ Σ⁻¹ U = I − Cap⁻¹, so the bracket is Cap⁻¹) — one
+    triangular solve against the (qm)×(qm) capacitance factor per test chunk,
+    no n×n* cross-covariance ever materialized. Mean = U*(Uᵀ α).
+
+    roots_star: (q, n*, m); alpha: (n, t) = Σ⁻¹ vec(Y) in matrix form.
+    """
+    H, L_G, L_cap = fac["H"], fac["L_G"], fac["L_cap"]
+    q, n_star, r = roots_star.shape
+    t = H.shape[0]
+    Ah = _mm(alpha, H)                                  # (n, q)
+    u = jnp.einsum("bnk,nb->bk", L_G, Ah, precision=_HIGHEST)   # R_bᵀ(αh_b)
+    proj = jnp.einsum("bik,bk->ib", roots_star, u, precision=_HIGHEST)
+    mean = _mm(proj, H.T) + mean_star
+
+    Rt = fac["Rt"]
+    noise_diag = jnp.diagonal(_mm(Rt, Rt.T))
+
+    def chunk_var(Rc):                                  # (q, c, m)
+        c = Rc.shape[1]
+        Wmat = jnp.einsum("bik,tb->bkit", Rc, H,
+                          precision=_HIGHEST).reshape(q * r, c * t)
+        V = solve_triangular(L_cap, Wmat, lower=True)
+        return jnp.sum(V * V, axis=0).reshape(c, t)
+
+    if n_star <= chunk:
+        var = chunk_var(roots_star)
+    else:
+        pad = (-n_star) % chunk
+        Rp = jnp.pad(roots_star, ((0, 0), (0, pad), (0, 0)))
+        blocks = jnp.moveaxis(Rp.reshape(q, -1, chunk, r), 1, 0)
+        var = jax.lax.map(chunk_var, blocks).reshape(-1, t)[:n_star]
+    if noise:
+        var = var + noise_diag[None, :]
+    return mean, jnp.clip(var, min=1e-12)
 
 
 def lmc_posterior_mean(Kstars, H, alpha, mean_star):
@@ -128,7 +186,7 @@ def lmc_posterior_variance(Kstars, Kstar_diag, H, Sigma_t, fac,
         #   Σ_d K_d[i,j] H[t,d] H[s,d]  =>  E[(b,j),(i,t)] = Σ_d (hᵀΣt⁻¹h)_{bd} K_d[i,j] H[t,d]
         E = jnp.einsum("bd,dij,td->bjit", C, Kc, H, precision=_HIGHEST)  # (q,n,c,t)
         Nmat = jnp.einsum("bnk,bnit->bkit", L_G, E, precision=_HIGHEST)  # L_Gᵀ E
-        Nflat = Nmat.reshape(q * n, c * t)
+        Nflat = Nmat.reshape(q * L_G.shape[-1], c * t)
         Vsol = solve_triangular(L_cap, Nflat, lower=True)
         term2 = jnp.sum(Vsol * Vsol, axis=0).reshape(c, t)
         return term1 - term2

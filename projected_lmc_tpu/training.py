@@ -23,6 +23,20 @@ import optax
 from .module import trainable_mask, partition, combine
 
 
+def _loss_fn_takes_key(loss_fn) -> bool:
+    """True if ``loss_fn``'s second positional argument is a PRNG key — it
+    must literally be named ``key`` or ``rng`` (a bare arity check would
+    misfire on e.g. ``projected_lmc_mll(model, with_terms)``)."""
+    import inspect
+    try:
+        params = list(inspect.signature(loss_fn).parameters.values())
+    except (TypeError, ValueError):
+        return False
+    positional = [p for p in params if p.kind in
+                  (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)]
+    return len(positional) >= 2 and positional[1].name in ("key", "rng")
+
+
 def lambda_lr_schedule(lr_max: float = 1e-2, lr_min: float = 1e-3,
                        last_epoch: int = 10000):
     """LambdaLR of experiments.py:84: linear decay lr_max→lr_min over
@@ -42,11 +56,21 @@ def exponential_schedule(lr: float, lr_min: float, n_iter: int):
     return schedule
 
 
+def default_scan_steps() -> int:
+    """Steps fused per dispatch: 16 on accelerators (the tunneled TPU adds
+    ~25 ms host↔device roundtrip per fetch — per-iteration dispatch would
+    dominate step time), 1 on CPU (tests want per-iteration losses cheap)."""
+    try:
+        return 1 if jax.default_backend() == "cpu" else 16
+    except RuntimeError:
+        return 1
+
+
 def fit(model, loss_fn: Callable = None, n_iter: int = 10000, lr: float = 1e-2,
         schedule=None, loss_thresh: float = 2.5e-6, patience: int = 500,
         criterion: str = "max", weight_decay: float = 1e-2,
         print_loss: bool = False, freq_print: int = 1000,
-        block_every: int = 1, scan_steps: int = 1):
+        block_every: int = 1, scan_steps: int = None, seed: int = 0):
     """Train ``model`` by maximizing ``loss_fn(model)`` (an MLL; the loop
     minimizes −MLL like the reference).
 
@@ -54,12 +78,18 @@ def fit(model, loss_fn: Callable = None, n_iter: int = 10000, lr: float = 1e-2,
     loss). AdamW with weight_decay=1e-2 matches torch.optim.AdamW defaults used
     throughout the reference.
 
+    ``loss_fn`` may take either ``(model)`` or ``(model, key)``; the two-arg
+    form receives a fresh PRNG key every iteration (stochastic MLLs — the
+    CG+SLQ exact-LMC path redraws its Hutchinson probes per step, as gpytorch
+    redraws per evaluation).
+
     ``scan_steps``: steps fused into one XLA program via ``lax.scan`` — one
     host↔device dispatch per chunk instead of per iteration (essential when
-    dispatch latency rivals step time). All per-iteration losses come back as
-    an array, so the plateau test sees every loss exactly as the reference's
-    per-iteration check does; early stopping lands on a chunk boundary (an
-    overshoot of < scan_steps iterations).
+    dispatch latency rivals step time). Default: :func:`default_scan_steps`
+    (16 on TPU, 1 on CPU). All per-iteration losses come back as an array, so
+    the plateau test sees every loss exactly as the reference's per-iteration
+    check does; early stopping lands on a chunk boundary (an overshoot of
+    < scan_steps iterations).
 
     ``block_every``: per-iteration-mode host-sync cadence (scan_steps == 1).
     """
@@ -67,31 +97,37 @@ def fit(model, loss_fn: Callable = None, n_iter: int = 10000, lr: float = 1e-2,
         loss_fn = lambda m: m.mll()
     if schedule is None:
         schedule = lambda_lr_schedule(lr_max=lr, lr_min=lr / 10.0)
+    if scan_steps is None:
+        scan_steps = default_scan_steps()
+    takes_key = _loss_fn_takes_key(loss_fn)
 
     mask = trainable_mask(model)
     params, static = partition(model, mask)
     # iteration counter lives in the carry so the lr schedule stays exact
     tx = optax.adamw(learning_rate=schedule, weight_decay=weight_decay)
     opt_state = tx.init(params)
+    key0 = jax.random.PRNGKey(seed)
 
-    def one_step(params, opt_state, static):
+    def one_step(params, opt_state, key, static):
+        key, sub = jax.random.split(key)
         def neg_loss(p):
-            return -loss_fn(combine(p, static))
+            m = combine(p, static)
+            return -(loss_fn(m, sub) if takes_key else loss_fn(m))
         loss, grads = jax.value_and_grad(neg_loss)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, opt_state, key, loss
 
     if scan_steps > 1:
         @jax.jit
-        def multi_step(params, opt_state, static):
+        def multi_step(params, opt_state, key, static):
             def body(carry, _):
-                p, o = carry
-                p, o, loss = one_step(p, o, static)
-                return (p, o), loss
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), None, length=scan_steps)
-            return params, opt_state, losses
+                p, o, k = carry
+                p, o, k, loss = one_step(p, o, k, static)
+                return (p, o, k), loss
+            (params, opt_state, key), losses = jax.lax.scan(
+                body, (params, opt_state, key), None, length=scan_steps)
+            return params, opt_state, key, losses
     else:
         step = jax.jit(one_step)
 
@@ -123,8 +159,10 @@ def fit(model, loss_fn: Callable = None, n_iter: int = 10000, lr: float = 1e-2,
 
     if scan_steps > 1:
         i = 0
+        key = key0
         while i < n_iter:
-            params, opt_state, chunk_losses = multi_step(params, opt_state, static)
+            params, opt_state, key, chunk_losses = multi_step(
+                params, opt_state, key, static)
             stop = False
             for j, lv in enumerate(np.asarray(chunk_losses)):
                 losses.append(float(lv))
@@ -138,8 +176,9 @@ def fit(model, loss_fn: Callable = None, n_iter: int = 10000, lr: float = 1e-2,
             if stop:
                 break
     else:
+        key = key0
         for i in range(n_iter):
-            params, opt_state, loss = step(params, opt_state, static)
+            params, opt_state, key, loss = step(params, opt_state, key, static)
             if i % block_every == 0 or i == n_iter - 1:
                 new_loss = float(loss)
                 losses.append(new_loss)

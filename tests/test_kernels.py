@@ -123,8 +123,24 @@ class TestPallasParity:
         ref = np.asarray(ker(x1, x2))
         got = np.asarray(fused_kernel_matrix(
             jnp.asarray(x1), jnp.asarray(x2),
-            ker.lengthscale.astype(jnp.float32), kind=kind, interpret=True))
+            ker.lengthscale.astype(jnp.float32), kind, True))
         np.testing.assert_allclose(got, ref, atol=5e-6, rtol=5e-5)
+
+    def test_fused_gradient_matches_reference(self):
+        """The custom VJP of the Pallas op == autodiff of the XLA path, so
+        use_pallas=True is trainable (ADVICE r1: pallas_call has no VJP)."""
+        import jax
+        from projected_lmc_tpu.ops.pallas_kernels import xla_kernel_matrix
+        rng = np.random.default_rng(1)
+        x1 = jnp.asarray(rng.standard_normal((40, 3)).astype(np.float32))
+        x2 = jnp.asarray(rng.standard_normal((30, 3)).astype(np.float32))
+        ls = jnp.asarray(rng.uniform(0.5, 2.0, (2, 1, 3)).astype(np.float32))
+        g1 = jax.grad(lambda l: jnp.sum(
+            fused_kernel_matrix(x1, x2, l, "matern25", True) ** 2))(ls)
+        g2 = jax.grad(lambda l: jnp.sum(
+            xla_kernel_matrix(x1, x2, l, "matern25") ** 2))(ls)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-4)
 
 
 if __name__ == "__main__":

@@ -186,6 +186,91 @@ class TestMultitask:
         np.testing.assert_allclose(np.asarray(pred.variance), exp_var, rtol=1e-4, atol=1e-8)
 
 
+class TestMultitaskSGPR:
+    """n_inducing_points routes ICM/LMC through the Nyström low-rank path
+    (VERDICT r1 item 5 — it used to be stored and silently ignored)."""
+
+    def test_sgpr_path_taken_and_differs_from_exact(self):
+        X, Y, F, _ = make_data(n=50, p=3, q=2)
+        lik = pl.MultitaskGaussianLikelihood(num_tasks=3, rank=0)
+        m_ex = pl.MultitaskGPModel(X, Y, lik, n_tasks=3, n_latents=2,
+                                   model_type="ICM")
+        m_sp = pl.MultitaskGPModel(X, Y, lik, n_tasks=3, n_latents=2,
+                                   model_type="ICM", n_inducing_points=10)
+        assert m_sp.sgpr and not m_ex.sgpr
+        v_ex, v_sp = float(m_ex.mll()), float(m_sp.mll())
+        assert np.isfinite(v_sp) and abs(v_ex - v_sp) > 1e-8
+
+    def test_sgpr_mll_matches_dense_nystrom(self):
+        """SGPR MLL == dense log-prob of the Nyström covariance + Titsias
+        trace correction, for both ICM and LMC."""
+        X, Y, _, _ = make_data(n=25, p=3, q=2)
+        for model_type in ("ICM", "LMC"):
+            lik = pl.MultitaskGaussianLikelihood(num_tasks=3, rank=0)
+            m = pl.MultitaskGPModel(X, Y, lik, n_tasks=3, n_latents=2,
+                                    model_type=model_type, n_inducing_points=8)
+            n, t = 25, 3
+            roots, H_eff, St_eff, titsias = m._sgpr_structure(m.train_x)
+            Ks = np.einsum("bik,bjk->bij", np.asarray(roots), np.asarray(roots))
+            dense = np.kron(np.eye(n), np.asarray(St_eff))
+            Hn = np.asarray(H_eff)
+            for b in range(Hn.shape[1]):
+                dense += np.kron(Ks[b], np.outer(Hn[:, b], Hn[:, b]))
+            from scipy.stats import multivariate_normal
+            expected = multivariate_normal.logpdf(
+                np.asarray(Y).reshape(-1), mean=np.zeros(n * t), cov=dense)
+            expected = (expected + float(titsias)) / (n * t)
+            np.testing.assert_allclose(float(m.mll()), expected, rtol=1e-6)
+
+    def test_sgpr_posterior_matches_dense_nystrom(self):
+        """Posterior mean/var from the capacitance identity == brute force."""
+        X, Y, _, _ = make_data(n=30, p=3, q=2)
+        Xs = np.linspace(-1, 1, 9)[:, None]
+        lik = pl.MultitaskGaussianLikelihood(num_tasks=3, rank=0)
+        m = pl.MultitaskGPModel(X, Y, lik, n_tasks=3, n_latents=2,
+                                model_type="LMC", n_inducing_points=8,
+                                fix_diagonal=True)
+        pred = m.posterior(jnp.asarray(Xs), observed=True)
+        n, t = 30, 3
+        roots, H_eff, St_eff, _ = m._sgpr_structure(m.train_x)
+        roots_s = m._nystrom_roots(jnp.asarray(Xs))
+        Hn = np.asarray(H_eff)
+        q = Hn.shape[1]
+        Ks = np.einsum("bik,bjk->bij", np.asarray(roots), np.asarray(roots))
+        Kx = np.einsum("bik,bjk->bij", np.asarray(roots_s), np.asarray(roots_s))
+        Kc = np.einsum("bik,bjk->bij", np.asarray(roots_s), np.asarray(roots))
+        Strain = np.kron(np.eye(n), np.asarray(St_eff))
+        Stest = np.zeros((9 * t, 9 * t))
+        Cross = np.zeros((9 * t, n * t))
+        for b in range(q):
+            hh = np.outer(Hn[:, b], Hn[:, b])
+            Strain += np.kron(Ks[b], hh)
+            Stest += np.kron(Kx[b], hh)
+            Cross += np.kron(Kc[b], hh)
+        mu = m.mean_module(m.train_x).T
+        mus = m.mean_module(jnp.asarray(Xs)).T
+        sol = np.linalg.solve(Strain, (np.asarray(Y) - np.asarray(mu)).reshape(-1))
+        exp_mean = (Cross @ sol).reshape(9, t) + np.asarray(mus)
+        exp_cov = Stest - Cross @ np.linalg.solve(Strain, Cross.T)
+        exp_var = np.diag(exp_cov).reshape(9, t) + np.diag(np.asarray(St_eff))[None, :]
+        np.testing.assert_allclose(np.asarray(pred.mean), exp_mean, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pred.variance), exp_var,
+                                   rtol=1e-5, atol=1e-8)
+
+    def test_iterative_routing_threshold(self):
+        """LMC auto-routes to the CG+SLQ path above DENSE_QN_MAX and the two
+        paths agree on the MLL value."""
+        X, Y, _, _ = make_data(n=40, p=3, q=2)
+        lik = pl.MultitaskGaussianLikelihood(num_tasks=3, rank=0)
+        m = pl.MultitaskGPModel(X, Y, lik, n_tasks=3, n_latents=2,
+                                model_type="LMC")
+        v_dense = float(m.mll(iterative=False))
+        v_iter = float(m.mll(iterative=True, key=jax.random.PRNGKey(0),
+                             num_probes=24, max_cg_iters=400, cg_tol=1e-10,
+                             slq_steps=30))
+        assert abs(v_iter - v_dense) / abs(v_dense) < 2e-2
+
+
 class TestVariational:
     def test_whitened_trains_config4(self):
         """Driver config 4: variational LMC with LHC inducing points."""
@@ -237,6 +322,19 @@ class TestProjected:
         H = np.asarray(m.lmc_coefficients())                   # (q, p)
         # BDN=False adds the M correction; with M=0 at init H T = I
         np.testing.assert_allclose(H @ T, np.eye(2), atol=1e-5)
+        # perturb H so R is genuinely non-diagonal (post-training state):
+        # T = Q R⁻ᵀ must still satisfy H T = I_q and Y T = project_data(Y).T
+        rng = np.random.default_rng(3)
+        H_pert = np.asarray(m.lmc_coefficients.H) \
+            + 0.3 * rng.standard_normal(m.lmc_coefficients.H.shape)
+        m = m.replace(lmc_coefficients=m.lmc_coefficients.replace(
+            H=jnp.asarray(H_pert, m.lmc_coefficients.H.dtype)))
+        T = np.asarray(m.projection_matrix())
+        H = np.asarray(m.lmc_coefficients())
+        np.testing.assert_allclose(H @ T, np.eye(2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(Y) @ T,
+                                   np.asarray(m.project_data(jnp.asarray(Y))).T,
+                                   atol=1e-5)
 
     def test_mll_variants_and_training_config5(self):
         """Driver config 5 (small): PLMC variants all train to low error."""
