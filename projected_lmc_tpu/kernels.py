@@ -257,9 +257,12 @@ class SpectralMixtureKernel(Kernel):
         return constraints.softplus(self.raw_mixture_scales)
 
     def initialize_from_data(self, train_x, train_y, seed: int = 0):
-        """Heuristic init from data spacing (gpytorch initialize_from_data analog):
-        frequencies uniform below the Nyquist rate implied by the minimum input
-        spacing; inverse scales tied to the data range; weights set to y std."""
+        """gpytorch 1.11 SpectralMixtureKernel.initialize_from_data heuristic:
+        means ~ Unif(0, 0.5/min_spacing) (below Nyquist), scales =
+        1/(|N(0,1)|·data_range) (reciprocal of a |Gaussian| lengthscale of the
+        data range — heavy-tailed in frequency space), weights = std(y)/Q.
+        Required before training the tidal experiment's kernel
+        (realdata_experiments.py:130-140)."""
         x = np.atleast_2d(np.asarray(train_x))
         if x.shape[0] == 1:
             x = x.T
@@ -275,7 +278,8 @@ class SpectralMixtureKernel(Kernel):
         rng = np.random.default_rng(seed)
         Q, B = self.num_mixtures, self.batch
         means = rng.random((B, Q, 1, d)) * (0.5 / min_dist)
-        scales = np.abs(rng.standard_normal((B, Q, 1, d))) / max_dist + 1e-3
+        scales = 1.0 / np.maximum(
+            np.abs(rng.standard_normal((B, Q, 1, d))) * max_dist, 1e-8)
         weights = np.full((B, Q), y.std() / Q)
         dt = self.raw_mixture_means.dtype
         return self.replace(

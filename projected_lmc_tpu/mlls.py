@@ -39,7 +39,7 @@ def projected_lmc_mll(model: ProjectedGPModel, with_terms: bool = False):
     p, q = model.n_tasks, model.n_latents
 
     proj_target = model.project_data(Y)                       # (q, n)
-    latent_ll = jnp.sum(model.log_marginal(y=proj_target))
+    latent_ll = jnp.sum(model.log_marginal(y=proj_target, orientation="tn"))
     latent_res = (latent_ll + model.covar_module.prior_log_prob()) / n
 
     terms = [jnp.zeros(()), jnp.zeros(()), jnp.zeros(())]

@@ -308,10 +308,18 @@ class ProjectedGPModel(ExactGPModel):
             proj = proj + self.projected_noise()[:, None] * cross
         return proj
 
-    def full_likelihood(self) -> FixedTaskNoise:
+    def full_likelihood(self, differentiable: bool = False) -> FixedTaskNoise:
         """Reconstructs the p×p task noise Σ = (QR)Σ_P(QR)ᵀ + Q⊥B̃Q⊥ᵀ + cross
         terms, Cholesky-factorized with the escalating-jitter ladder
-        (projected_lmc.py:1023-1074)."""
+        (projected_lmc.py:1023-1074).
+
+        CONTRACT: by default the returned factor is wrapped in
+        ``stop_gradient`` — this matches the reference, which only ever calls
+        full_likelihood in eval mode (experiments.py:316); noise parameters
+        are trained through ProjectedLMCmll, not through this reconstruction.
+        Pass ``differentiable=True`` if you intend to optimize through
+        ``predict(observed=True)`` — otherwise the noise would silently stop
+        learning."""
         Q, R, Q_orth = self.lmc_coefficients.QR()
         QR = jnp.matmul(Q, R, precision=_HIGHEST)
         sigma_p = self.projected_noise()
@@ -347,7 +355,9 @@ class ProjectedGPModel(ExactGPModel):
             D_root = QR * jnp.sqrt(sigma_p)[None, :]
             Sigma = D_root @ D_root.T + B_term
         chol = safe_cholesky(Sigma + 1e-6 * jnp.eye(p, dtype=Sigma.dtype))
-        return FixedTaskNoise(jax.lax.stop_gradient(chol))
+        if not differentiable:
+            chol = jax.lax.stop_gradient(chol)
+        return FixedTaskNoise(chol)
 
     # -- latent / task posteriors ----------------------------------------------
     def compute_latent_distrib(self, x, full_cov: bool = True):

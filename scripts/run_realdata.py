@@ -25,6 +25,9 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--patience", type=int, default=500)
     p.add_argument("--block-every", type=int, default=1)
+    p.add_argument("--scan-steps", type=int, default=None,
+                   help="optimizer steps fused per dispatch (default: 16 on "
+                        "TPU, 1 on CPU — see training.default_scan_steps)")
     p.add_argument("--out", default=None)
     p.add_argument("--print-metrics", action="store_true")
     args = p.parse_args(argv)
@@ -45,7 +48,8 @@ def main(argv=None):
         models, data["X_test"], data["Y_test"],
         n_iter=args.n_iter or data["n_iter"], lr=args.lr,
         loss_thresh=data["loss_thresh"], patience=args.patience,
-        print_metrics=args.print_metrics, block_every=args.block_every)
+        print_metrics=args.print_metrics, block_every=args.block_every,
+        scan_steps=args.scan_steps)
 
     out = args.out or f"results/realdata_study_{args.experiment}.csv"
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)

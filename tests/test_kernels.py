@@ -108,6 +108,32 @@ class TestFactory:
         assert K.shape == (3, 5, 5)
 
 
+class TestSpectralMixtureE2E:
+    def test_spectral_mixture_init_and_periodic_fit(self):
+        """initialize_from_data (gpytorch heuristic) + exact-GP training
+        recovers a periodic signal — the tidal experiment's kernel path."""
+        import projected_lmc_tpu as pl
+        from projected_lmc_tpu.models.exact import ExactGPModel
+        from projected_lmc_tpu.training import fit
+        rng = np.random.default_rng(0)
+        X = np.linspace(0, 4, 120)[:, None]
+        y = np.sin(2 * np.pi * 1.5 * X[:, 0]) + 0.05 * rng.standard_normal(120)
+        lik = pl.GaussianLikelihood(batch_shape=1, dtype=jnp.float64)
+        m = ExactGPModel(jnp.asarray(X), jnp.asarray(y), lik, n_tasks=1,
+                         kernel_type="spectral_mixture", mean_type="zero",
+                         ker_kwargs=dict(num_mixtures=3))
+        m = m.replace(covar_module=m.covar_module.initialize_from_data(X, y))
+        # init sanity: means below Nyquist, scales positive
+        means = np.asarray(m.covar_module.mixture_means)
+        nyq = 0.5 / np.diff(np.sort(X[:, 0])).min()
+        assert np.all(means <= nyq + 1e-6) and np.all(means > 0)
+        m2, info = fit(m, n_iter=300, lr=0.05, patience=60)
+        post = m2.posterior(jnp.asarray(X), full_cov=False)
+        rmse = float(np.sqrt(np.mean((np.asarray(post.mean)[0]
+                                      - np.sin(2 * np.pi * 1.5 * X[:, 0]))**2)))
+        assert rmse < 0.15, rmse
+
+
 class TestPallasParity:
     @pytest.mark.parametrize("kind,maker", [
         ("rbf", lambda: RBFKernel(ard_num_dims=3, batch_shape=2)),
