@@ -37,7 +37,17 @@ def generate_synthetic(n: int = 500, p: int = 100, q: int = 25,
     N = X.shape[0]
     gp_vals = np.empty((q, N))
     for i in range(q):
-        L = np.linalg.cholesky(K[i] + 1e-8 * np.eye(N))
+        # host-side jitter ladder: the kernel is evaluated in fp32, so its
+        # fp64 cast can carry ~1e-7 negative eigenvalues
+        jitter = 1e-8
+        while True:
+            try:
+                L = np.linalg.cholesky(K[i] + jitter * np.eye(N))
+                break
+            except np.linalg.LinAlgError:
+                jitter *= 10.0
+                if jitter > 1e-2:
+                    raise
         gp_vals[i] = L @ rng.standard_normal(N)
 
     H_true = rng.standard_normal((q, p))

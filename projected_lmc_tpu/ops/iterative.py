@@ -52,10 +52,20 @@ def lmc_matvec(Ks, H, St, V):
     """Σ · vec(V) in matrix form: Σ_b K_b (V h_b) h_bᵀ + V Σt.
 
     V: (..., n, T); Ks: (q, n, n); H: (T, q); St: (T, T).
+
+    The dominant cost is streaming the (q, n, n) kernel stack from HBM for
+    the middle einsum. Pass ``Ks`` pre-cast to bfloat16 to halve that traffic
+    (accumulation stays fp32 via preferred_element_type) — CG tolerates the
+    ~1e-3 relative operator noise at the training tolerances gpytorch itself
+    uses (cg_tolerance 1.0).
     """
     W = jnp.einsum("...nt,tb->...nb", V, H, precision=_HIGHEST)
-    Z = jnp.einsum("bij,...jb->...ib", Ks, W, precision=_HIGHEST)
-    out = jnp.einsum("...nb,tb->...nt", Z, H, precision=_HIGHEST)
+    if Ks.dtype == jnp.bfloat16:
+        Z = jnp.einsum("bij,...jb->...ib", Ks, W.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    else:
+        Z = jnp.einsum("bij,...jb->...ib", Ks, W, precision=_HIGHEST)
+    out = jnp.einsum("...nb,tb->...nt", Z.astype(V.dtype), H, precision=_HIGHEST)
     return out + jnp.matmul(V, St, precision=_HIGHEST)
 
 
@@ -155,10 +165,10 @@ def slq_logdet(matvec, Z, num_steps: int = 20):
     return jnp.mean(beta0**2 * quad)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def lmc_iterative_log_prob(Ks, H, St, Ydelta, probes,
                            max_cg_iters: int = 256, cg_tol: float = 1e-4,
-                           slq_steps: int = 20):
+                           slq_steps: int = 20, matvec_bf16: bool = False):
     """log N(vec(Y); 0, Σ_b K_b ⊗ h_b h_bᵀ + I ⊗ Σt), matrix-free.
 
     Ks (q, n, n), H (T, q), St (T, T), Ydelta (n, T), probes (s, n, T).
@@ -166,13 +176,16 @@ def lmc_iterative_log_prob(Ks, H, St, Ydelta, probes,
     gradient uses the saved CG solves with Hutchinson trace estimation —
     the same estimator family as gpytorch's inv_quad_logdet backward.
     """
-    ll, _ = _fwd_impl(Ks, H, St, Ydelta, probes, max_cg_iters, cg_tol, slq_steps)
+    ll, _ = _fwd_impl(Ks, H, St, Ydelta, probes, max_cg_iters, cg_tol,
+                      slq_steps, matvec_bf16)
     return ll
 
 
-def _fwd_impl(Ks, H, St, Ydelta, probes, max_cg_iters, cg_tol, slq_steps):
+def _fwd_impl(Ks, H, St, Ydelta, probes, max_cg_iters, cg_tol, slq_steps,
+              matvec_bf16=False):
     n, t = Ydelta.shape
-    matvec = lambda V: lmc_matvec(Ks, H, St, V)
+    Kmv = Ks.astype(jnp.bfloat16) if matvec_bf16 else Ks
+    matvec = lambda V: lmc_matvec(Kmv, H, St, V)
     Md = jnp.clip(_jacobi_diag(Ks, H, St), 1e-10)
     B = jnp.concatenate([Ydelta[None], probes], axis=0)   # (1+s, n, T)
     X = batched_pcg(matvec, B, Md, max_iters=max_cg_iters, tol=cg_tol)
@@ -183,7 +196,7 @@ def _fwd_impl(Ks, H, St, Ydelta, probes, max_cg_iters, cg_tol, slq_steps):
     return ll, (Ks, H, St, alpha, W, probes)
 
 
-def _bwd_impl(max_cg_iters, cg_tol, slq_steps, res, g):
+def _bwd_impl(max_cg_iters, cg_tol, slq_steps, matvec_bf16, res, g):
     Ks, H, St, alpha, W, Z = res
     s = max(W.shape[0], 1)
     # A := dll/dΣ = ½(ααᵀ − Σ⁻¹),  Σ⁻¹ ≈ (1/2s) Σ_i (w_i z_iᵀ + z_i w_iᵀ)

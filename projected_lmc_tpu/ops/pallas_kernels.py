@@ -49,7 +49,10 @@ def _tile_kernel(kind, x1_ref, x2_ref, ls_ref, out_ref):
     b = x2_ref[:] * inv_l
     cross = jax.lax.dot_general(                 # MXU
         a, b, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        # fp32 passes on the MXU: without this the cross term runs in bf16
+        # and the n1+n2-2·cross cancellation amplifies the error to ~1e-1
+        precision=jax.lax.Precision.HIGHEST)
     n1 = jnp.sum(a * a, axis=1, keepdims=True)   # (TILE, 1)
     n2 = jnp.sum(b * b, axis=1, keepdims=True)   # (TILE, 1)
     d2 = jnp.maximum(n1 + n2.T - 2.0 * cross, 0.0)

@@ -1,0 +1,105 @@
+"""Experiment-harness tests: real-data loaders (against the mounted reference
+data), the synthetic generator, the parametric-study driver with landmark CSV
+export, and the reject_nonconverged_runs filter (VERDICT r1 item 7)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from projected_lmc_tpu.experiments.synthetic import generate_synthetic
+from projected_lmc_tpu.experiments import realdata
+from projected_lmc_tpu.experiments.driver import run_study
+from projected_lmc_tpu.metrics import compute_metrics
+
+DATA = realdata.DEFAULT_DATA_ROOT
+
+
+class TestLoaders:
+    @pytest.mark.skipif(not os.path.exists(os.path.join(DATA, "ship")),
+                        reason="reference ship data not mounted")
+    def test_ship(self):
+        d = realdata.load_ship()
+        # 18 raw columns minus the 6 dropped ([0,1,8,11,16,17],
+        # realdata_experiments.py:404) = 12 outputs
+        assert d["X"].shape[1] == 3 and d["Y"].shape[1] == 12
+        assert d["X_test"].shape == (100, 3) and d["Y_test"].shape == (100, 12)
+        # z-scored with train statistics
+        np.testing.assert_allclose(d["Y"].mean(0), 0.0, atol=1e-10)
+        np.testing.assert_allclose(d["Y"].std(0), 1.0, atol=1e-10)
+        assert d["n_ind_points"] == 500 and d["q"] == 3
+
+    @pytest.mark.skipif(not os.path.exists(os.path.join(DATA, "SARCOS")),
+                        reason="reference SARCOS data not mounted")
+    def test_sarcos(self):
+        d = realdata.load_sarcos()
+        assert d["X"].shape[1] == 21 and d["Y"].shape[1] == 7
+        assert d["X_test"].shape[1] == 21
+
+    @pytest.mark.skipif(not os.path.exists(os.path.join(DATA, "bramblemet")),
+                        reason="reference bramblemet data not mounted")
+    def test_tidal(self):
+        d = realdata.load_tidal()
+        assert d["X"].shape[1] == 1 and d["Y"].shape[1] == 4
+        assert d["kernel_type"] == "spectral_mixture"
+        # held-out window is one day out of 14 on the ÷4 clock
+        n_total = len(d["X"]) + len(d["X_test"])
+        assert abs(len(d["X_test"]) - n_total // 14) <= 1
+
+    def test_neutro_raises(self):
+        with pytest.raises(FileNotFoundError):
+            realdata.load_neutro()
+
+
+class TestSynthetic:
+    def test_generator_contract(self):
+        d = generate_synthetic(n=50, p=8, q=2, q_noise=2, mu_noise=0.1,
+                               mu_str=0.9, max_scale=0.5, n_test=30, seed=0)
+        assert d["X"].shape == (50, 1) and d["Y"].shape == (50, 8)
+        assert d["X_test"].shape[0] == 30
+        assert d["H_true"].shape == (2, 8)
+
+
+class TestRunStudy:
+    def _small_study(self, tmp_path, **kw):
+        return run_study(
+            v_test="void", n_random_runs=2, models_to_run=["PLMC_fast"],
+            params=dict(n=40, p=4, q=2, q_noise=2, mu_noise=0.1),
+            path=str(tmp_path / "study.csv"), n_iter=60, lr=0.05,
+            patience=20, n_test=30, print_metrics=False, **kw)
+
+    def test_landmark_csv_and_metrics(self, tmp_path):
+        import pandas as pd
+        res = self._small_study(tmp_path)
+        f = tmp_path / "study_1runs.csv"
+        assert f.exists()
+        df = pd.read_csv(f, index_col=0)
+        for col in ("RMSE", "R2", "PVA", "alpha_CI", "train_time", "n_iter"):
+            assert col in df.columns
+        assert any(k.startswith("PLMC_fast") for k in res)
+
+    def test_reject_nonconverged_runs(self, tmp_path):
+        """With the filter on, landmark CSVs gain *_conv rows averaged over
+        converged runs only, plus an n_sucess_runs column (reference
+        experiments.py:353-380, including its spelling)."""
+        import pandas as pd
+        self._small_study(tmp_path, reject_nonconverged_runs=True)
+        df = pd.read_csv(tmp_path / "study_1runs.csv", index_col=0)
+        conv_rows = [i for i in df.index if i.endswith("_conv")]
+        assert conv_rows, df.index
+        assert "n_sucess_runs" in df.columns
+        # a 60-iteration run on easy data converges: success count in {0,1}
+        assert 0 <= float(df.loc[conv_rows[0], "n_sucess_runs"]) <= 1
+
+
+class TestMetrics:
+    def test_r2_unbiased_variance(self):
+        """R2 uses ddof=1 to match torch.var (ADVICE r1)."""
+        rng = np.random.default_rng(0)
+        y = rng.standard_normal((10, 2))
+        pred = y + 0.1
+        sig = np.ones_like(y)
+        m = compute_metrics(y, pred, sig, 0.0, np.ones((2, 2)), 1, 0.0, 0.0,
+                            print_metrics=False)
+        expected = float(np.mean(1 - 0.01 / np.var(y, axis=0, ddof=1)))
+        np.testing.assert_allclose(m["R2"], expected, rtol=1e-12)

@@ -94,6 +94,24 @@ class TestLogProb:
             err = np.abs(a - b).max() / scale
             assert err < tol, (name, err)
 
+    def test_bf16_matvec_close_to_f32(self):
+        """The bandwidth-saving bf16 kernel-stack matvec keeps the value
+        within ~0.1% and gradients within Hutchinson noise of the fp32 path
+        (it is what bench.py runs on the TPU)."""
+        Ks, H, St, Y = make_problem(n=40, t=4, q=2, dtype=jnp.float32)
+        probes = it.draw_probes(jax.random.PRNGKey(0), 40, 4, 16, jnp.float32)
+        v32 = float(it.lmc_iterative_log_prob(Ks, H, St, Y, probes,
+                                              200, 1e-3, 25, False))
+        v16 = float(it.lmc_iterative_log_prob(Ks, H, St, Y, probes,
+                                              200, 1e-3, 25, True))
+        assert abs(v16 - v32) / abs(v32) < 5e-3, (v16, v32)
+        g32 = jax.grad(lambda K: it.lmc_iterative_log_prob(
+            K, H, St, Y, probes, 200, 1e-3, 25, False))(Ks)
+        g16 = jax.grad(lambda K: it.lmc_iterative_log_prob(
+            K, H, St, Y, probes, 200, 1e-3, 25, True))(Ks)
+        rel = float(jnp.abs(g16 - g32).max() / jnp.abs(g32).max())
+        assert rel < 0.1, rel
+
     def test_jit_and_fresh_probes(self):
         """jit-compiles; different probe draws move the value only slightly."""
         Ks, H, St, Y = make_problem(n=25, t=3, q=2, dtype=jnp.float64)
