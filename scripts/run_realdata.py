@@ -33,6 +33,8 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import pandas as pd
+    from projected_lmc_tpu.utils.tpu import ensure_tpu
+    ensure_tpu()
     from projected_lmc_tpu.experiments.realdata import LOADERS
     from projected_lmc_tpu.experiments.driver import build_models, train_and_eval
 

@@ -39,6 +39,8 @@ def main(argv=None):
     p.add_argument("--print-metrics", action="store_true")
     args = p.parse_args(argv)
 
+    from projected_lmc_tpu.utils.tpu import ensure_tpu
+    ensure_tpu()
     from projected_lmc_tpu.experiments.driver import run_study
     params = {}
     for name in ("mu_str", "n", "p", "q"):
