@@ -48,6 +48,25 @@ MODEL_CONFIGS = {  # experiments.py:196-216, realdata_experiments.py:99-118
 }
 
 
+def _maybe_init_sm(model, X, Y, seed=0):
+    """SpectralMixture kernels REQUIRE data-driven initialization before
+    training (realdata_experiments.py:130-140 calls initialize_from_data;
+    without it the mixture frequencies are arbitrary and the model collapses
+    to mean prediction on periodic data like the tidal series)."""
+    cm = getattr(model, "covar_module", None)
+    if cm is not None and hasattr(cm, "initialize_from_data"):
+        X, Y = np.asarray(X), np.asarray(Y)
+        if hasattr(cm, "initialize_from_data_empspect"):
+            # 1-D near-regular series: spectral-peak init (falls back to the
+            # Unif-below-Nyquist heuristic internally when inapplicable)
+            model = model.replace(
+                covar_module=cm.initialize_from_data_empspect(X, Y, seed=seed))
+        else:
+            model = model.replace(
+                covar_module=cm.initialize_from_data(X, Y, seed=seed))
+    return model
+
+
 def build_models(X, Y, q_model, q_noise_guess, models_to_run,
                  kernel_type="matern", mean_type="zero", decomp=None,
                  train_ind_ratio=1.5, n_ind_points=None, ker_kwargs=None,
@@ -79,6 +98,7 @@ def build_models(X, Y, q_model, q_noise_guess, models_to_run,
                 mean_type="zero", kernel_type=kernel_type, decomp=decomp,
                 n_inducing_points=n_ind_points, ker_kwargs=ker_kwargs,
                 seed=seed, **cfg)
+    models = {k: _maybe_init_sm(m, X, Y, seed=seed) for k, m in models.items()}
     return models
 
 

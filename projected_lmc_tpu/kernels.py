@@ -288,6 +288,59 @@ class SpectralMixtureKernel(Kernel):
             raw_mixture_weights=constraints.inv_softplus(jnp.asarray(np.maximum(weights, 1e-6), dt)),
         )
 
+    def initialize_from_data_empspect(self, train_x, train_y, seed: int = 0):
+        """Empirical-spectrum init (gpytorch initialize_from_data_empspect):
+        mixture means at the top-Q periodogram peaks, bandwidths at the
+        frequency resolution, weights at the peaks' power share of var(y).
+
+        Frequency fitting is multimodal — the Unif-below-Nyquist draw of
+        :meth:`initialize_from_data` rarely lands in the attraction basin of
+        a sharp spectral line (e.g. the M2 tide in the bramblemet series);
+        reading the FFT does. Requires near-regular 1-D sampling; falls back
+        to the standard heuristic otherwise."""
+        x = np.atleast_2d(np.asarray(train_x, np.float64))
+        if x.shape[0] == 1:
+            x = x.T
+        y = np.asarray(train_y, np.float64)
+        if y.ndim == 1:
+            y = y[:, None]
+        d = x.shape[-1] if self.active_dims is None else len(self.active_dims)
+        if d != 1:
+            return self.initialize_from_data(train_x, train_y, seed=seed)
+        xs = x[:, 0] if self.active_dims is None else x[:, self.active_dims[0]]
+        order = np.argsort(xs)
+        xs, y = xs[order], y[order]
+        dt = float(np.median(np.diff(xs)))
+        if dt <= 0:
+            return self.initialize_from_data(train_x, train_y, seed=seed)
+        # resample onto a regular grid (linear interp bridges held-out
+        # windows/jitter) so the FFT sees true frequencies
+        grid = np.arange(xs[0], xs[-1] + 0.5 * dt, dt)
+        yg = np.stack([np.interp(grid, xs, y[:, t]) for t in range(y.shape[1])],
+                      axis=1)
+        n = len(grid)
+        yc = yg - yg.mean(axis=0)
+        power = (np.abs(np.fft.rfft(yc, axis=0)) ** 2).sum(axis=1)
+        freqs = np.fft.rfftfreq(n, dt)
+        Q, B = self.num_mixtures, self.batch
+        top = np.argsort(power[1:])[::-1][:Q] + 1  # skip DC
+        if len(top) < Q:                           # degenerate tiny series
+            return self.initialize_from_data(train_x, train_y, seed=seed)
+        means = np.tile(freqs[top][None, :, None, None], (B, 1, 1, 1))
+        df = freqs[1] - freqs[0]                   # frequency resolution
+        scales = np.full((B, Q, 1, 1), df)
+        w = power[top] / power[top].sum() * y.var(axis=0).mean()
+        weights = np.tile(w[None, :], (B, 1))
+        dtp = self.raw_mixture_means.dtype
+        return self.replace(
+            raw_mixture_means=constraints.inv_softplus(
+                jnp.asarray(np.maximum(means, 1e-12), dtp)),
+            raw_mixture_scales=constraints.inv_softplus(
+                jnp.asarray(np.maximum(scales, 1e-12), dtp)),
+            raw_mixture_weights=constraints.inv_softplus(
+                jnp.asarray(np.maximum(weights, 1e-12), dtp)),
+        )
+
     def forward(self, x1, x2, diag=False):
         if diag:
             n = min(x1.shape[-2], x2.shape[-2])

@@ -103,33 +103,51 @@ def fit(model, loss_fn: Callable = None, n_iter: int = 10000, lr: float = 1e-2,
 
     mask = trainable_mask(model)
     params, static = partition(model, mask)
-    # iteration counter lives in the carry so the lr schedule stays exact
-    tx = optax.adamw(learning_rate=schedule, weight_decay=weight_decay)
-    opt_state = tx.init(params)
+    # The optimizer works on the FLAT LEAF LIST of the trainable pytree: a
+    # plain list is structure-compatible with optax masks (Module pytrees
+    # classify bool attributes as static, so a model-shaped mask tree would
+    # not round-trip). Iteration counter lives in the adam state so the lr
+    # schedule stays exact.
+    flat_with_paths, ptreedef = jax.tree_util.tree_flatten_with_path(params)
+    leaves0 = [v for _, v in flat_with_paths]
+    # Weight decay skips spectral-mixture raw frequencies/bandwidths: their
+    # raw magnitudes equal the frequencies themselves (softplus ≈ identity at
+    # e.g. 3.5e4 for the tidal M2 line), so decay·lr would drag them by
+    # thousands per epoch — torch AdamW in the reference has the same flaw,
+    # it is just invisible on O(1) lengthscale parameters.
+    decay_flags = [
+        not any(str(getattr(k, "name", "")).startswith("raw_mixture")
+                for k in kp)
+        for kp, _ in flat_with_paths]
+    tx = optax.adamw(learning_rate=schedule, weight_decay=weight_decay,
+                     mask=decay_flags)
+    opt_state = tx.init(leaves0)
     key0 = jax.random.PRNGKey(seed)
 
-    def one_step(params, opt_state, key, static):
+    def one_step(leaves, opt_state, key, static):
         key, sub = jax.random.split(key)
-        def neg_loss(p):
+        def neg_loss(lvs):
+            p = jax.tree_util.tree_unflatten(ptreedef, lvs)
             m = combine(p, static)
             return -(loss_fn(m, sub) if takes_key else loss_fn(m))
-        loss, grads = jax.value_and_grad(neg_loss)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, key, loss
+        loss, grads = jax.value_and_grad(neg_loss)(leaves)
+        updates, opt_state = tx.update(grads, opt_state, leaves)
+        leaves = optax.apply_updates(leaves, updates)
+        return leaves, opt_state, key, loss
 
     if scan_steps > 1:
         @jax.jit
-        def multi_step(params, opt_state, key, static):
+        def multi_step(leaves, opt_state, key, static):
             def body(carry, _):
                 p, o, k = carry
                 p, o, k, loss = one_step(p, o, k, static)
                 return (p, o, k), loss
-            (params, opt_state, key), losses = jax.lax.scan(
-                body, (params, opt_state, key), None, length=scan_steps)
-            return params, opt_state, key, losses
+            (leaves, opt_state, key), losses = jax.lax.scan(
+                body, (leaves, opt_state, key), None, length=scan_steps)
+            return leaves, opt_state, key, losses
     else:
         step = jax.jit(one_step)
+    params = leaves0
 
     losses = []
     plateau_id = 0
@@ -189,7 +207,7 @@ def fit(model, loss_fn: Callable = None, n_iter: int = 10000, lr: float = 1e-2,
                     break
     train_time = time.time() - start
 
-    trained = combine(params, static)
+    trained = combine(jax.tree_util.tree_unflatten(ptreedef, params), static)
     info = dict(n_iter=effective_n_iter, train_time=train_time,
                 losses=np.asarray(losses), loss=last_loss)
     return trained, info
