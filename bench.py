@@ -154,8 +154,11 @@ def bench_exact_lmc(n=10000, T=7, q=4, seed=0, steps=8, reps=2):
                 # bfloat16 with fp32 accumulation (~1.6x step speedup,
                 # training loss trajectory identical to fp32 to 4 decimals
                 # over 24 steps); solves/reductions stay fp32.
+                # rank-256 Nyström preconditioner: CG drops from ~78 to a
+                # handful of iterations at this scale (11.6 vs 7.1 it/s)
                 return -combine(pp, static).mll(key=sub, max_cg_iters=100,
-                                                cg_tol=1e-2, matvec_bf16=True)
+                                                cg_tol=1e-2, matvec_bf16=True,
+                                                precond_rank=256)
             loss, grads = jax.value_and_grad(neg_loss)(p)
             updates, o = tx.update(grads, o, p)
             p = optax.apply_updates(p, updates)

@@ -205,7 +205,7 @@ class MultitaskGPModel(Module):
     def mll(self, x=None, y=None, key=None, iterative: bool = None,
             num_probes: int = 10, max_cg_iters: int = 256,
             cg_tol: float = 1e-2, slq_steps: int = 20,
-            matvec_bf16: bool = False):
+            matvec_bf16: bool = False, precond_rank: int = 0):
         """Exact multitask MLL / (n·T), plus hyper-prior terms.
 
         For LMC at large scale (q·n > DENSE_QN_MAX, or ``iterative=True``) the
@@ -241,7 +241,7 @@ class MultitaskGPModel(Module):
                                             Ydelta.dtype)
                 ll = it_ops.lmc_iterative_log_prob(
                     Ks, H, St, Ydelta, probes, max_cg_iters, cg_tol,
-                    slq_steps, matvec_bf16)
+                    slq_steps, matvec_bf16, precond_rank)
             else:
                 ll = wb_ops.lmc_log_prob(Ks, H, St, Ydelta)
         num_data = n * self.n_tasks

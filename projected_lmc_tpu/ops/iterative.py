@@ -76,19 +76,68 @@ def _jacobi_diag(Ks, H, St):
             + jnp.diagonal(St)[None, :])
 
 
-def batched_pcg(matvec, B, Md, max_iters: int = 256, tol: float = 1e-4):
-    """Jacobi-preconditioned CG for r simultaneous (n, T)-shaped RHS.
+def nystrom_precond(Ks, H, St, rank: int = 128, jitter: float = 1e-4):
+    """Closure applying M⁻¹ for M = Σ_b Q_b ⊗ h_b h_bᵀ + I ⊗ Σt, with
+    Q_b = rank-``rank`` Nyström approximations of the K_b (strided landmarks).
 
-    B: (r, n, T); Md: (n, T) positive diagonal. Returns X with Σ X_k = B_k.
-    Terminates when every RHS has relative residual < tol, or at max_iters.
+    M captures the top of each latent kernel's spectrum, so CG on Σ = M +
+    Σ_b (K_b − Q_b) ⊗ h_b h_bᵀ converges in far fewer iterations than with a
+    Jacobi diagonal — the role gpytorch's pivoted-Cholesky preconditioner
+    plays, built here from the materialized kernel stack with one (q·rank)²
+    capacitance factorization per step and O(q·n·rank) work per apply.
     """
+    q, n, _ = Ks.shape
+    t = St.shape[0]
+    m = min(rank, n)
+    idx = jnp.linspace(0, n - 1, m).astype(jnp.int32)
+    Kmm = Ks[:, idx[:, None], idx[None, :]]               # (q, m, m)
+    Knm = Ks[:, :, idx]                                   # (q, n, m)
+    Lmm = jnp.linalg.cholesky(Kmm + jitter * jnp.eye(m, dtype=Ks.dtype))
+    R = jnp.swapaxes(jax.scipy.linalg.solve_triangular(
+        Lmm, jnp.swapaxes(Knm, -1, -2), lower=True), -1, -2)   # (q, n, m)
+
+    St_inv = jnp.linalg.inv(St)
+    SinvH = jnp.matmul(St_inv, H, precision=_HIGHEST)     # (T, q)
+    C = jnp.matmul(H.T, SinvH, precision=_HIGHEST)        # (q, q)
+    Rtall = jnp.transpose(R, (1, 0, 2)).reshape(n, q * m)
+    P = jnp.matmul(Rtall.T, Rtall, precision=_HIGHEST).reshape(q, m, q, m)
+    cap = (C[:, None, :, None] * P).reshape(q * m, q * m) \
+        + jnp.eye(q * m, dtype=Ks.dtype)
+    L_cap = jnp.linalg.cholesky(cap)
+
+    def minv(V):                                          # V: (r, n, T)
+        W = jnp.matmul(V, St_inv, precision=_HIGHEST)     # D⁻¹ v
+        WH = jnp.einsum("rnt,tb->rnb", W, H, precision=_HIGHEST)
+        u = jnp.einsum("bnk,rnb->rbk", R, WH, precision=_HIGHEST)
+        r_ = u.shape[0]
+        z = jax.scipy.linalg.cho_solve(
+            (L_cap, True), u.reshape(r_, q * m).T).T.reshape(r_, q, m)
+        t2 = jnp.einsum("bnk,rbk->rnb", R, z, precision=_HIGHEST)
+        corr = jnp.einsum("rnb,tb->rnt", t2, SinvH, precision=_HIGHEST)
+        return W - corr
+
+    return minv
+
+
+def batched_pcg(matvec, B, Md, max_iters: int = 256, tol: float = 1e-4,
+                minv=None):
+    """Preconditioned CG for r simultaneous (n, T)-shaped RHS.
+
+    B: (r, n, T); Md: (n, T) positive diagonal (Jacobi fallback); ``minv``
+    overrides the preconditioner with an arbitrary SPD apply (e.g.
+    :func:`nystrom_precond`). Returns X with Σ X_k = B_k. Terminates when
+    every RHS has relative residual < tol, or at max_iters.
+    """
+    if minv is None:
+        minv = lambda r: r / Md
+
     def dot(a, b):
         return jnp.sum(a * b, axis=(-2, -1))              # (r,)
 
     bnorm = jnp.sqrt(jnp.clip(dot(B, B), 1e-30))
     X = jnp.zeros_like(B)
     R = B
-    Z = R / Md
+    Z = minv(R)
     P = Z
     rz = dot(R, Z)
 
@@ -103,7 +152,7 @@ def batched_pcg(matvec, B, Md, max_iters: int = 256, tol: float = 1e-4):
         alpha = rz / jnp.clip(dot(P, Ap), 1e-30)
         X = X + alpha[:, None, None] * P
         R = R - alpha[:, None, None] * Ap
-        Z = R / Md
+        Z = minv(R)
         rz_new = dot(R, Z)
         beta = rz_new / jnp.clip(rz, 1e-30)
         P = Z + beta[:, None, None] * P
@@ -165,10 +214,11 @@ def slq_logdet(matvec, Z, num_steps: int = 20):
     return jnp.mean(beta0**2 * quad)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def lmc_iterative_log_prob(Ks, H, St, Ydelta, probes,
                            max_cg_iters: int = 256, cg_tol: float = 1e-4,
-                           slq_steps: int = 20, matvec_bf16: bool = False):
+                           slq_steps: int = 20, matvec_bf16: bool = False,
+                           precond_rank: int = 0):
     """log N(vec(Y); 0, Σ_b K_b ⊗ h_b h_bᵀ + I ⊗ Σt), matrix-free.
 
     Ks (q, n, n), H (T, q), St (T, T), Ydelta (n, T), probes (s, n, T).
@@ -177,18 +227,20 @@ def lmc_iterative_log_prob(Ks, H, St, Ydelta, probes,
     the same estimator family as gpytorch's inv_quad_logdet backward.
     """
     ll, _ = _fwd_impl(Ks, H, St, Ydelta, probes, max_cg_iters, cg_tol,
-                      slq_steps, matvec_bf16)
+                      slq_steps, matvec_bf16, precond_rank)
     return ll
 
 
 def _fwd_impl(Ks, H, St, Ydelta, probes, max_cg_iters, cg_tol, slq_steps,
-              matvec_bf16=False):
+              matvec_bf16=False, precond_rank=0):
     n, t = Ydelta.shape
     Kmv = Ks.astype(jnp.bfloat16) if matvec_bf16 else Ks
     matvec = lambda V: lmc_matvec(Kmv, H, St, V)
     Md = jnp.clip(_jacobi_diag(Ks, H, St), 1e-10)
+    minv = nystrom_precond(Ks, H, St, precond_rank) if precond_rank > 0 else None
     B = jnp.concatenate([Ydelta[None], probes], axis=0)   # (1+s, n, T)
-    X = batched_pcg(matvec, B, Md, max_iters=max_cg_iters, tol=cg_tol)
+    X = batched_pcg(matvec, B, Md, max_iters=max_cg_iters, tol=cg_tol,
+                    minv=minv)
     alpha, W = X[0], X[1:]                                # Σ⁻¹y, Σ⁻¹z_i
     quad = jnp.sum(Ydelta * alpha)
     logdet = slq_logdet(matvec, probes, num_steps=slq_steps)
@@ -196,7 +248,8 @@ def _fwd_impl(Ks, H, St, Ydelta, probes, max_cg_iters, cg_tol, slq_steps,
     return ll, (Ks, H, St, alpha, W, probes)
 
 
-def _bwd_impl(max_cg_iters, cg_tol, slq_steps, matvec_bf16, res, g):
+def _bwd_impl(max_cg_iters, cg_tol, slq_steps, matvec_bf16, precond_rank,
+              res, g):
     Ks, H, St, alpha, W, Z = res
     s = max(W.shape[0], 1)
     # A := dll/dΣ = ½(ααᵀ − Σ⁻¹),  Σ⁻¹ ≈ (1/2s) Σ_i (w_i z_iᵀ + z_i w_iᵀ)

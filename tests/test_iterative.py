@@ -94,6 +94,22 @@ class TestLogProb:
             err = np.abs(a - b).max() / scale
             assert err < tol, (name, err)
 
+    def test_nystrom_preconditioner_same_solution(self):
+        """PCG with the Nyström preconditioner converges to the same MLL and
+        gradients as Jacobi (it only changes the iteration count)."""
+        Ks, H, St, Y = make_problem(n=50, t=4, q=2)
+        probes = it.draw_probes(jax.random.PRNGKey(2), 50, 4, 16, Y.dtype)
+        args = (400, 1e-10, 25, False)
+        v0 = float(it.lmc_iterative_log_prob(Ks, H, St, Y, probes, *args, 0))
+        v1 = float(it.lmc_iterative_log_prob(Ks, H, St, Y, probes, *args, 16))
+        assert abs(v0 - v1) / abs(v0) < 1e-8, (v0, v1)
+        g0 = jax.grad(lambda K: it.lmc_iterative_log_prob(
+            K, H, St, Y, probes, *args, 0))(Ks)
+        g1 = jax.grad(lambda K: it.lmc_iterative_log_prob(
+            K, H, St, Y, probes, *args, 16))(Ks)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=1e-6, atol=1e-10)
+
     def test_bf16_matvec_close_to_f32(self):
         """The bandwidth-saving bf16 kernel-stack matvec keeps the value
         within ~0.1% and gradients within Hutchinson noise of the fp32 path
