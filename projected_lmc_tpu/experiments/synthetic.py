@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..kernels import MaternKernel
 
 
 def generate_synthetic(n: int = 500, p: int = 100, q: int = 25,
@@ -29,20 +28,22 @@ def generate_synthetic(n: int = 500, p: int = 100, q: int = 25,
     X_test = 2 * rng.random(n_test) - 1
     X = np.concatenate([X_train, X_test])[:, None].astype(dtype)
 
-    # latent Matern draws (host-side cholesky sampling; one kernel per latent)
-    ker = MaternKernel(nu=2.5, ard_num_dims=1, batch_shape=q, dtype=dtype)
-    ker = ker.set_lengthscale(np.asarray(lscales, dtype)[:, None, None]
-                              .reshape(q, 1, 1))
-    K = np.asarray(ker(X), np.float64)                       # (q, N, N)
+    # latent Matern-2.5 draws — host-side fp64 kernel + Cholesky sampling.
+    # (Evaluating through the jax kernel on an fp32 accelerator leaves the
+    # near-singular long-lengthscale kernels with fp32-scale negative
+    # eigenvalues no reasonable jitter fixes at N ≈ 3000.)
     N = X.shape[0]
+    absdiff = np.abs(X[:, 0].astype(np.float64)[:, None]
+                     - X[:, 0].astype(np.float64)[None, :])
     gp_vals = np.empty((q, N))
     for i in range(q):
-        # host-side jitter ladder: the kernel is evaluated in fp32, so its
-        # fp64 cast can carry ~1e-7 negative eigenvalues
-        jitter = 1e-8
+        r = absdiff / float(lscales[i])
+        c = np.sqrt(5.0) * r
+        K = (1.0 + c + (5.0 / 3.0) * r**2) * np.exp(-c)
+        jitter = 1e-10
         while True:
             try:
-                L = np.linalg.cholesky(K[i] + jitter * np.eye(N))
+                L = np.linalg.cholesky(K + jitter * np.eye(N))
                 break
             except np.linalg.LinAlgError:
                 jitter *= 10.0

@@ -211,3 +211,38 @@ def fit(model, loss_fn: Callable = None, n_iter: int = 10000, lr: float = 1e-2,
     info = dict(n_iter=effective_n_iter, train_time=train_time,
                 losses=np.asarray(losses), loss=last_loss)
     return trained, info
+
+
+def fit_svgp_minibatch(model, batch_size: int = 256, n_iter: int = 10000,
+                       lr: float = 1e-2, schedule=None, weight_decay: float = 1e-2,
+                       loss_thresh: float = 2.5e-6, patience: int = 500,
+                       criterion: str = "max", seed: int = 0,
+                       scan_steps: int = None, print_loss: bool = False,
+                       freq_print: int = 1000):
+    """Stochastic-variational (minibatch) training for SVGP models.
+
+    New capability beyond the reference (which trains the variational model
+    full-batch, experiments.py:256-284): per-step uniform-with-replacement
+    minibatches drive ``model.elbo(x=xb, y=yb, num_data=n)`` — the standard
+    SVI estimator, with the same AdamW/schedule/plateau machinery as
+    :func:`fit`. The whole sample-batch-step sequence is one XLA program.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    X, Y = model.train_x, model.train_y
+    n = X.shape[0]
+    batch_size = min(batch_size, n)
+
+    def loss_fn(m, key):
+        idx = jax.random.choice(key, n, (batch_size,), replace=True)
+        return m.elbo(x=X[idx], y=Y[idx], num_data=n)
+
+    # plateau detection on a noisy SVI loss needs the rolling-mean criterion
+    criterion = "mean" if criterion == "max" else criterion
+    return fit(model, loss_fn, n_iter=n_iter, lr=lr, schedule=schedule,
+               weight_decay=weight_decay, loss_thresh=loss_thresh,
+               patience=patience, criterion=criterion, seed=seed,
+               scan_steps=scan_steps, print_loss=print_loss,
+               freq_print=freq_print)

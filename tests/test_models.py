@@ -287,6 +287,22 @@ class TestVariational:
         assert rmse < 0.12
         assert bool(jnp.all(pred.variance > 0))
 
+    def test_svgp_minibatch_training(self):
+        """SVI minibatch ELBO training (new capability; reference is
+        full-batch only) reaches the same quality as full-batch."""
+        from projected_lmc_tpu.training import fit_svgp_minibatch
+        X, Y, F, _ = make_data(n=200, p=4, q=2)
+        m = pl.VariationalMultitaskGPModel(
+            X, n_latents=2, n_tasks=4, train_y=Y, init_lmc_coeffs=True,
+            train_ind_ratio=4.0, mean_type="zero", kernel_type="matern")
+        e0 = float(m.elbo())
+        m2, info = fit_svgp_minibatch(m, batch_size=64, n_iter=400, lr=0.05,
+                                      patience=100)
+        assert -info["loss"] > e0
+        pred = m2(jnp.asarray(X))
+        rmse = float(np.sqrt(np.mean((np.asarray(pred.mean) - F) ** 2)))
+        assert rmse < 0.15, rmse
+
     def test_kl_zero_at_prior(self):
         X, Y, _, _ = make_data(n=30, p=3, q=2)
         m = pl.VariationalMultitaskGPModel(X, n_latents=2, n_tasks=3, train_y=Y,
