@@ -248,10 +248,38 @@ class MultitaskGPModel(Module):
         return (ll + self.covar_module.prior_log_prob()) / num_data
 
     # -- posterior ---------------------------------------------------------------
-    def precompute_posterior(self):
+    def precompute_posterior(self, iterative: bool = None,
+                             max_cg_iters: int = 400, cg_tol: float = 1e-5,
+                             precond_rank: int = 256):
         x = self.train_x
+        n = x.shape[0]
         Ydelta = self.train_y.T - self.mean_module(x).T
         Sigma_t = self.likelihood.task_covariance()
+        if self.model_type == "LMC" and not self.sgpr:
+            if iterative is None:
+                iterative = self.n_latents * n > self.DENSE_QN_MAX
+            if iterative:
+                # matrix-free exact posterior mean (tight PCG solve) +
+                # CONSERVATIVE variance: the correction is computed through
+                # M_up = Σ_b Q_b ⊗ h_bh_bᵀ + I⊗(Σt + c·I) ⪰ Σ (Q_b = rank-k
+                # Nyström, c = λmax of the residual), so M_up⁻¹ ⪯ Σ⁻¹ and the
+                # returned variance sits between the exact posterior variance
+                # and the prior — calibration errs toward over-coverage.
+                Ks = self.covar_module(x)
+                H = self.covar_factor[..., 0].T
+                St = Sigma_t + jnp.diag(self._lmc_extra_diag())
+                roots = it_ops.nystrom_roots_from_kernels(Ks, precond_rank)
+                minv = it_ops.nystrom_precond(Ks, H, St, precond_rank)
+                Md = jnp.clip(it_ops._jacobi_diag(Ks, H, St), 1e-10)
+                alpha = it_ops.batched_pcg(
+                    lambda V: it_ops.lmc_matvec(Ks, H, St, V),
+                    Ydelta[None], Md, max_iters=max_cg_iters, tol=cg_tol,
+                    minv=minv)[0]
+                c = it_ops.residual_spectral_bound(Ks, roots, H)
+                St_up = St + c * jnp.eye(self.n_tasks, dtype=St.dtype)
+                fac_up = wb_ops.lmc_factors_from_roots(roots, H, St_up)
+                return dict(kind="lmc_iter", alpha=alpha, H=H, Sigma_t=St,
+                            fac=fac_up)
         if self.sgpr:
             roots, H_eff, St_eff, _ = self._sgpr_structure(x)
             fac = wb_ops.lmc_factors_from_roots(roots, H_eff, St_eff)
@@ -284,6 +312,17 @@ class MultitaskGPModel(Module):
                     roots_star[0], (self.n_tasks,) + roots_star[0].shape)
             mean, var = wb_ops.lmc_sgpr_posterior(
                 roots_star, cache["fac"], cache["alpha"], mean_star,
+                noise=observed)
+            return _MeanVarMT(mean, var)
+        if cache["kind"] == "lmc_iter":
+            Kstars = self.covar_module(x_star, self.train_x)    # (q, n*, n)
+            mean = wb_ops.lmc_posterior_mean(Kstars, cache["H"], cache["alpha"],
+                                             mean_star)
+            kss = self.covar_module(x_star, diag=True)          # (q, n*)
+            # correction through the inflated Nyström factors (conservative);
+            # prior + noise use the TRUE Σt, only the solve uses St_up
+            var = wb_ops.lmc_posterior_variance(
+                Kstars, kss, cache["H"], cache["Sigma_t"], cache["fac"],
                 noise=observed)
             return _MeanVarMT(mean, var)
         if cache["kind"] == "icm":

@@ -284,3 +284,44 @@ def _bwd_impl(max_cg_iters, cg_tol, slq_steps, matvec_bf16, precond_rank,
 
 
 lmc_iterative_log_prob.defvjp(_fwd_impl, _bwd_impl)
+
+
+def residual_spectral_bound(Ks, roots, H, n_iters: int = 12, seed: int = 0):
+    """Power-iteration estimate of λmax of the Nyström residual operator
+    R(V) = Σ_b (K_b − R_b R_bᵀ)(V h_b) h_bᵀ — the inflation constant that
+    makes M + c·I an upper bound on Σ (so its inverse under-corrects and the
+    resulting posterior variance is conservative)."""
+    q, n, _ = Ks.shape
+    t = H.shape[0]
+
+    def resid_mv(V):
+        W = jnp.einsum("nt,tb->nb", V, H, precision=_HIGHEST)
+        KW = jnp.einsum("bij,jb->ib", Ks, W, precision=_HIGHEST)
+        RtW = jnp.einsum("bnk,nb->bk", roots, W, precision=_HIGHEST)
+        QW = jnp.einsum("bnk,bk->nb", roots, RtW, precision=_HIGHEST)
+        return jnp.einsum("nb,tb->nt", KW - QW, H, precision=_HIGHEST)
+
+    v = jax.random.normal(jax.random.PRNGKey(seed), (n, t), Ks.dtype)
+    def body(carry, _):
+        v, _ = carry
+        w = resid_mv(v)
+        lam = jnp.sqrt(jnp.sum(w * w))
+        return (w / jnp.clip(lam, 1e-30), lam), None
+    (v, lam), _ = lax.scan(body, (v / jnp.sqrt(jnp.sum(v * v)),
+                                  jnp.zeros((), Ks.dtype)), None,
+                           length=n_iters)
+    # Rayleigh quotient at the final iterate (tighter than the norm estimate)
+    w = resid_mv(v)
+    return jnp.sum(v * w) / jnp.clip(jnp.sum(v * v), 1e-30)
+
+
+def nystrom_roots_from_kernels(Ks, rank: int = 256, jitter: float = 1e-4):
+    """Strided-landmark Nyström roots R_b with R_b R_bᵀ ≈ K_b, (q, n, rank)."""
+    q, n, _ = Ks.shape
+    m = min(rank, n)
+    idx = jnp.linspace(0, n - 1, m).astype(jnp.int32)
+    Kmm = Ks[:, idx[:, None], idx[None, :]]
+    Knm = Ks[:, :, idx]
+    Lmm = jnp.linalg.cholesky(Kmm + jitter * jnp.eye(m, dtype=Ks.dtype))
+    return jnp.swapaxes(jax.scipy.linalg.solve_triangular(
+        Lmm, jnp.swapaxes(Knm, -1, -2), lower=True), -1, -2)

@@ -257,6 +257,26 @@ class TestMultitaskSGPR:
         np.testing.assert_allclose(np.asarray(pred.variance), exp_var,
                                    rtol=1e-5, atol=1e-8)
 
+    def test_iterative_lmc_posterior_conservative(self):
+        """Matrix-free LMC posterior: exact mean (tight PCG), variance
+        through the inflated-Nyström upper bound M_up >= Sigma — always
+        >= the dense posterior variance, converging as rank -> n."""
+        X, Y, F, _ = make_data(n=90, p=4, q=2)
+        Xs = np.linspace(-0.9, 0.9, 15)[:, None]
+        lik = pl.MultitaskGaussianLikelihood(num_tasks=4, rank=0)
+        m = pl.MultitaskGPModel(X, Y, lik, n_tasks=4, n_latents=2,
+                                model_type="LMC", kernel_type="matern",
+                                mean_type="zero", fix_diagonal=True)
+        cd = m.precompute_posterior(iterative=False)
+        ci = m.precompute_posterior(iterative=True, precond_rank=30)
+        pd_ = m.posterior(jnp.asarray(Xs), cache=cd, observed=True)
+        pi_ = m.posterior(jnp.asarray(Xs), cache=ci, observed=True)
+        np.testing.assert_allclose(np.asarray(pi_.mean), np.asarray(pd_.mean),
+                                   atol=1e-5)
+        vd, vi = np.asarray(pd_.variance), np.asarray(pi_.variance)
+        assert np.all(vi >= vd - 1e-8)
+        assert np.all(vi <= vd * 1.5 + 1e-6)   # and not uselessly loose
+
     def test_iterative_routing_threshold(self):
         """LMC auto-routes to the CG+SLQ path above DENSE_QN_MAX and the two
         paths agree on the MLL value."""
