@@ -60,6 +60,9 @@ def setup(v: str, metric: str, n_runs: int, results_dir: str = "results",
     postfix = f"_{n_runs}runs" + post_postfix
     path = os.path.join(results_dir, f"parameter_study_{v}{prefix}{postfix}.csv")
     df = pd.read_csv(path, index_col=0)
+    # drop the converged-only accumulator rows (reject_nonconverged_runs);
+    # they duplicate (model, v) pairs and would break the pivot
+    df = df[~df.index.str.endswith("_conv")]
     df["t_per_iter"] = df["train_time"] / df["n_iter"]
     scale = SCALES.get(metric, {}).get(v, "lin")
     return [df], v, FANCY_LABELS.get(v, v), FANCY_LABELS.get(metric, metric), \

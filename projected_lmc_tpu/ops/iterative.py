@@ -87,14 +87,8 @@ def nystrom_precond(Ks, H, St, rank: int = 128, jitter: float = 1e-4):
     capacitance factorization per step and O(q·n·rank) work per apply.
     """
     q, n, _ = Ks.shape
-    t = St.shape[0]
-    m = min(rank, n)
-    idx = jnp.linspace(0, n - 1, m).astype(jnp.int32)
-    Kmm = Ks[:, idx[:, None], idx[None, :]]               # (q, m, m)
-    Knm = Ks[:, :, idx]                                   # (q, n, m)
-    Lmm = jnp.linalg.cholesky(Kmm + jitter * jnp.eye(m, dtype=Ks.dtype))
-    R = jnp.swapaxes(jax.scipy.linalg.solve_triangular(
-        Lmm, jnp.swapaxes(Knm, -1, -2), lower=True), -1, -2)   # (q, n, m)
+    R = nystrom_roots_from_kernels(Ks, rank, jitter)      # (q, n, m)
+    m = R.shape[-1]
 
     St_inv = jnp.linalg.inv(St)
     SinvH = jnp.matmul(St_inv, H, precision=_HIGHEST)     # (T, q)

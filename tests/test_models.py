@@ -94,6 +94,36 @@ class TestExactGP:
                                np.asarray(m.inducing_points))
 
 
+class TestComplexMeanLOO:
+    def test_complex_mean_loo_matches_brute_force(self):
+        """Universal-kriging LOO (projected_lmc.py:417-430): the corrected
+        precision K⁻ = K⁻¹ − K⁻¹B(BᵀK⁻¹B)⁻¹BᵀK⁻¹ gives σᵢ² = 1/[K⁻]ᵢᵢ and
+        residuals [K⁻ y]ᵢ σᵢ² — check against the dense formula directly."""
+        X, Y, _, _ = make_data(n=30, p=1, q=1)
+        lik = pl.GaussianLikelihood(batch_shape=1, noise_init=0.05)
+        m = pl.ExactGPModel(X, Y[:, 0], lik, n_tasks=1, kernel_type="rbf",
+                            mean_type="linear")
+        sigma2, resid = m.compute_loo(complex_mean=True)
+        assert sigma2.shape == (30, 1) and bool(jnp.all(sigma2 > 0))
+        K = np.asarray(m.covar_module(m.train_x))[0] + 0.05 * np.eye(30)
+        B = np.asarray(m.mean_module.basis_matrix(m.train_x))
+        Kinv = np.linalg.inv(K)
+        corr = Kinv @ B @ np.linalg.inv(B.T @ Kinv @ B + 1e-6 * np.eye(B.shape[1])) @ B.T @ Kinv
+        Kminus = Kinv - corr
+        exp_sig2 = 1.0 / np.diag(Kminus)
+        exp_resid = (Kminus @ np.asarray(m.train_y)[0]) * exp_sig2
+        np.testing.assert_allclose(np.asarray(sigma2)[:, 0], exp_sig2, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(resid)[:, 0], exp_resid,
+                                   rtol=1e-4, atol=1e-8)
+
+    def test_complex_mean_requires_basis(self):
+        X, Y, _, _ = make_data(n=20, p=1, q=1)
+        lik = pl.GaussianLikelihood(batch_shape=1)
+        m = pl.ExactGPModel(X, Y[:, 0], lik, n_tasks=1, mean_type="constant")
+        with pytest.raises(ValueError):
+            m.compute_loo(complex_mean=True)
+
+
 class TestMultitask:
     def test_icm_mll_matches_dense(self):
         """ICM Kronecker MLL == dense multitask MVN log-prob."""
