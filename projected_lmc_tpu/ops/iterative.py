@@ -304,9 +304,12 @@ def residual_spectral_bound(Ks, roots, H, n_iters: int = 12, seed: int = 0):
     (v, lam), _ = lax.scan(body, (v / jnp.sqrt(jnp.sum(v * v)),
                                   jnp.zeros((), Ks.dtype)), None,
                            length=n_iters)
-    # Rayleigh quotient at the final iterate (tighter than the norm estimate)
+    # Rayleigh quotient at the final iterate (tighter than the norm estimate);
+    # clamped at 0 — fp noise on a near-exact Nyström (rank ≈ n) can push the
+    # quotient slightly negative, which would deflate Σt and break the
+    # conservative-variance guarantee
     w = resid_mv(v)
-    return jnp.sum(v * w) / jnp.clip(jnp.sum(v * v), 1e-30)
+    return jnp.clip(jnp.sum(v * w) / jnp.clip(jnp.sum(v * v), 1e-30), 0.0)
 
 
 def nystrom_roots_from_kernels(Ks, rank: int = 256, jitter: float = 1e-4):
