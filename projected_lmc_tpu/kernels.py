@@ -12,6 +12,7 @@ onto the systolic array. Every kernel returns shape ``(n_funcs, n, m)``
 from __future__ import annotations
 
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +31,97 @@ def _sqdist(x1, x2):
     cross = jnp.matmul(x1, jnp.swapaxes(x2, -1, -2), precision=_HIGHEST)
     d2 = n1[..., :, None] + n2[..., None, :] - 2.0 * cross
     return jnp.maximum(d2, 0.0)
+
+
+def _profile(d2, kind):
+    """Stationary profile k(d2) for the custom-VJP kernel-matrix op."""
+    if kind == "rbf":
+        return jnp.exp(-0.5 * d2)
+    eps = jnp.asarray(1e-30, d2.dtype)
+    r = jnp.sqrt(jnp.maximum(d2, eps))
+    if kind == "matern05":
+        return jnp.exp(-r)
+    if kind == "matern15":
+        c = math.sqrt(3.0) * r
+        return (1.0 + c) * jnp.exp(-c)
+    c = math.sqrt(5.0) * r
+    return (1.0 + c + (5.0 / 3.0) * d2) * jnp.exp(-c)
+
+
+def _dprofile(d2, kind):
+    """dk/d(d2). Closed forms so the backward pass is ONE fused elementwise
+    read of the cotangent instead of XLA's saved-residual chain."""
+    if kind == "rbf":
+        return -0.5 * jnp.exp(-0.5 * d2)
+    eps = jnp.asarray(1e-30, d2.dtype)
+    r = jnp.sqrt(jnp.maximum(d2, eps))
+    if kind == "matern05":
+        # non-differentiable at r=0: the symmetric subgradient is 0 there
+        # (matches the (Δx)²·(1/r) → 0 limit of the lengthscale gradient)
+        return jnp.where(d2 <= 1e-12, jnp.zeros_like(d2),
+                         -jnp.exp(-r) / (2.0 * r))
+    if kind == "matern15":
+        return -1.5 * jnp.exp(-math.sqrt(3.0) * r)
+    return (-5.0 / 6.0) * (1.0 + math.sqrt(5.0) * r) * jnp.exp(-math.sqrt(5.0) * r)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def stationary_kernel_matrix(x1, x2, ls, kind, use_pallas=False):
+    """Batched stationary kernel matrix K_b = k(|x1/ls_b − x2/ls_b|²), (B,n,m).
+
+    x1 (n,d) and x2 (m,d) are SHARED across the lengthscale batch (B,1,d) —
+    the layout of every multi-latent GP here. Custom VJP: XLA's autodiff of
+    the distance→profile chain materializes several (B,n,m) elementwise
+    intermediates (measured ~50 ms of a 64 ms exact-LMC training step at
+    n=10⁴, q=4 on one TPU chip); the hand-written backward reduces to one
+    fused elementwise pass over the cotangent plus matvec-sized contractions
+    via (x_i−x_j)² = x_i² + x_j² − 2x_i x_j, and serves double duty as the
+    gradient rule for the Pallas fused-tile forward (``use_pallas=True``),
+    which has no autodiff rule of its own.
+
+    Inputs are centered (translation invariance, exact) so the expansion is
+    numerically safe for large-offset features (e.g. datetime axes).
+    """
+    K, _ = _skm_fwd(x1, x2, ls, kind, use_pallas)
+    return K
+
+
+def _skm_fwd(x1, x2, ls, kind, use_pallas):
+    mu = jax.lax.stop_gradient(jnp.mean(x1, axis=0))
+    x1c, x2c = x1 - mu, x2 - mu
+    if use_pallas and jax.default_backend() == "tpu":
+        from .ops.pallas_kernels import fused_kernel_matrix
+        K = fused_kernel_matrix(x1c, x2c, ls, kind, False)
+    else:
+        K = _profile(_sqdist(x1c[None] / ls, x2c[None] / ls), kind)
+    return K, (x1c, x2c, ls)
+
+
+def _skm_bwd(kind, use_pallas, res, g):
+    x1c, x2c, ls = res
+    d2 = _sqdist(x1c[None] / ls, x2c[None] / ls)
+    W = g * _dprofile(d2, kind)                               # (B,n,m)
+    rows = jnp.sum(W, axis=-1)                                # (B,n)
+    cols = jnp.sum(W, axis=-2)                                # (B,m)
+    Wx2 = jnp.einsum("bij,jd->bid", W, x2c, precision=_HIGHEST)
+    Wtx1 = jnp.einsum("bij,id->bjd", W, x1c, precision=_HIGHEST)
+    lsq = ls[:, 0, :]                                         # (B,d)
+    ls2 = lsq * lsq
+    sq1 = jnp.einsum("bi,id->bd", rows, x1c * x1c, precision=_HIGHEST)
+    sq2 = jnp.einsum("bj,jd->bd", cols, x2c * x2c, precision=_HIGHEST)
+    crossd = jnp.einsum("bid,id->bd", Wx2, x1c, precision=_HIGHEST)
+    # dd2/dls_bd = −2 (x1_id − x2_jd)² / ls_bd³
+    dls = (sq1 + sq2 - 2.0 * crossd) * (-2.0) / (lsq * ls2)
+    dx1 = 2.0 * jnp.sum((rows[..., None] * x1c[None] - Wx2) / ls2[:, None, :],
+                        axis=0)
+    dx2 = 2.0 * jnp.sum((cols[..., None] * x2c[None] - Wtx1) / ls2[:, None, :],
+                        axis=0)
+    # cotangent dtypes must match the primals (mixed fp64 data / fp32 params)
+    return (dx1.astype(x1c.dtype), dx2.astype(x2c.dtype),
+            dls[:, None, :].astype(ls.dtype))
+
+
+stationary_kernel_matrix.defvjp(_skm_fwd, _skm_bwd)
 
 
 class Prior:
@@ -136,6 +228,26 @@ class _StationaryKernel(Kernel):
     def _scaled(self, x1, x2):
         ls = self.lengthscale  # (B, 1, d)
         return x1 / ls, x2 / ls
+
+    def __call__(self, x1, x2=None, diag=False):
+        """Dense evaluations on shared (2-D) inputs route through the
+        custom-VJP :func:`stationary_kernel_matrix` (memory-optimal backward;
+        Pallas forward tiles when ``use_pallas``). Batched 3-D inputs and
+        diagonals fall back to the generic path."""
+        a1 = jnp.asarray(x1)
+        a2 = a1 if x2 is None else jnp.asarray(x2)
+        if not diag and self._pallas_kind and a1.ndim <= 2 and a2.ndim <= 2:
+            if a1.ndim == 1:
+                a1 = a1[:, None]
+            if a2.ndim == 1:
+                a2 = a2[:, None]
+            if self.active_dims is not None:
+                idx = list(self.active_dims)
+                a1 = a1[:, idx]
+                a2 = a2[:, idx]
+            return stationary_kernel_matrix(a1, a2, self.lengthscale,
+                                            self._pallas_kind, self.use_pallas)
+        return super().__call__(x1, x2, diag=diag)
 
     def _maybe_pallas(self, x1, x2):
         """Fused Pallas tile path (ops/pallas_kernels.py): inputs are shared

@@ -205,13 +205,19 @@ class MultitaskGPModel(Module):
     def mll(self, x=None, y=None, key=None, iterative: bool = None,
             num_probes: int = 10, max_cg_iters: int = 256,
             cg_tol: float = 1e-2, slq_steps: int = 20,
-            matvec_bf16: bool = False, precond_rank: int = 0):
+            matvec_bf16: bool = False, precond_rank: int = 0,
+            quad_method: str = "pcg"):
         """Exact multitask MLL / (n·T), plus hyper-prior terms.
 
         For LMC at large scale (q·n > DENSE_QN_MAX, or ``iterative=True``) the
-        log-prob is evaluated matrix-free by preconditioned CG + stochastic
-        Lanczos quadrature with Hutchinson gradients — pass a fresh ``key``
-        per optimizer step to redraw probes (gpytorch redraws per evaluation).
+        log-prob is evaluated matrix-free with Hutchinson gradients — pass a
+        fresh ``key`` per optimizer step to redraw probes (gpytorch redraws
+        per evaluation). With ``precond_rank > 0`` and the default
+        ``quad_method="pcg"``, solves AND logdet come from one fused
+        Nyström-preconditioned CG pass (probes ~ N(0, M), Lanczos tridiagonals
+        from the CG coefficients, logdet M exact — gpytorch's inv_quad_logdet
+        estimator compiled to one XLA program); ``quad_method="slq"`` keeps
+        the separate Rademacher-probe SLQ pass.
         """
         x = self.train_x if x is None else x
         y = self.train_y if y is None else _canon_targets(jnp.asarray(y), self.n_tasks)
@@ -237,11 +243,22 @@ class MultitaskGPModel(Module):
             if iterative:
                 if key is None:
                     key = jax.random.PRNGKey(0)
-                probes = it_ops.draw_probes(key, n, self.n_tasks, num_probes,
-                                            Ydelta.dtype)
-                ll = it_ops.lmc_iterative_log_prob(
-                    Ks, H, St, Ydelta, probes, max_cg_iters, cg_tol,
-                    slq_steps, matvec_bf16, precond_rank)
+                if precond_rank > 0 and quad_method == "pcg":
+                    k1, k2 = jax.random.split(key)
+                    eps = jax.random.normal(
+                        k1, (num_probes, n, self.n_tasks), Ydelta.dtype)
+                    xi = jax.random.normal(
+                        k2, (num_probes, self.n_latents,
+                             min(precond_rank, n)), Ydelta.dtype)
+                    ll = it_ops.lmc_pcg_log_prob(
+                        Ks, H, St, Ydelta, eps, xi, max_cg_iters, cg_tol,
+                        matvec_bf16, precond_rank)
+                else:
+                    probes = it_ops.draw_probes(key, n, self.n_tasks,
+                                                num_probes, Ydelta.dtype)
+                    ll = it_ops.lmc_iterative_log_prob(
+                        Ks, H, St, Ydelta, probes, max_cg_iters, cg_tol,
+                        slq_steps, matvec_bf16, precond_rank)
             else:
                 ll = wb_ops.lmc_log_prob(Ks, H, St, Ydelta)
         num_data = n * self.n_tasks
