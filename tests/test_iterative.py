@@ -141,7 +141,7 @@ class TestLogProb:
         eps = jax.random.normal(k1, (s, n, t), Y.dtype)
         xi = jax.random.normal(k2, (s, Ks.shape[0], rank), Y.dtype)
         ll = float(it.lmc_pcg_log_prob(Ks, H, St, Y, eps, xi,
-                                       60, 1e-10, False, rank))
+                                       None, 60, 1e-10, False, rank))
         assert abs(ll - ll_dense) / abs(ll_dense) < 2e-2, (ll, ll_dense)
 
     def test_pcg_quadrature_gradients_match_dense(self):
@@ -159,7 +159,7 @@ class TestLogProb:
         )(Ks, H, St, Y)
         g_it = jax.grad(
             lambda K, h, st, y: it.lmc_pcg_log_prob(
-                K, h, st, y, eps, xi, 200, 1e-10, False, rank),
+                K, h, st, y, eps, xi, None, 200, 1e-10, False, rank),
             argnums=(0, 1, 2, 3))(Ks, H, St, Y)
 
         np.testing.assert_allclose(np.asarray(g_it[3]), np.asarray(g_dense[3]),
