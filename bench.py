@@ -343,6 +343,19 @@ def main():
     else:
         details.setdefault("skipped", []).append("extras")
 
+    # stretch config (details-only; the headline metric stays n=10k for
+    # cross-round comparability)
+    if _remaining() >= 120:
+        res, err = _run_stage(["stretch"], timeout_s=_remaining() - 20)
+        for r in res:
+            details[f"lmc_iters_per_sec_n{int(r['n'])}_stretch"] = round(
+                float(r["iters_per_sec"]), 3)
+        if err:
+            details["stretch_error"] = err
+        _emit(final=False)
+    else:
+        details.setdefault("skipped", []).append("stretch")
+
     signal.alarm(0)
     _emit(final=True)
 
@@ -355,6 +368,12 @@ def _stage_main(argv):
             v = bench_exact_lmc(n=n, T=7, q=4)
             print("RESULT", json.dumps({"n": n, "iters_per_sec": v}),
                   flush=True)
+    elif kind == "stretch":
+        # scale headroom beyond the headline config: the bf16 stack at
+        # n=20k, q=4 is 3.2 GB — still single-chip HBM territory
+        v = bench_exact_lmc(n=20000, T=7, q=4, steps=4, reps=2)
+        print("RESULT", json.dumps({"n": 20000, "iters_per_sec": v}),
+              flush=True)
     elif kind == "lmc":
         n, T, q = int(argv[1]), int(argv[2]), int(argv[3])
         print("RESULT", json.dumps(

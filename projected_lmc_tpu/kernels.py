@@ -97,14 +97,62 @@ def _skm_fwd(x1, x2, ls, kind, use_pallas):
     return K, (x1c, x2c, ls)
 
 
+_BWD_SLAB = 2048
+
+
+def _skm_bwd_slabbed(kind, x1c, x2c, ls, g):
+    """Row-slab scan of the backward reductions: peak extra memory is one
+    (B, slab, m) block instead of the full (B, n, m) W — at n=m=20k the
+    difference between ~0.7 GB and ~6.4 GB of HBM. The scan operand stays in
+    the cotangent's own dtype (bf16 when the model runs a bf16 stack)."""
+    B = ls.shape[0]
+    n, d = x1c.shape
+    # a slab that divides n makes the reshape a free bitcast (no pad copy of
+    # the (B, n, m) cotangent)
+    slab = next((s for s in range(min(_BWD_SLAB, n), 0, -1) if n % s == 0
+                 and s >= 512), None) or _BWD_SLAB
+    pad = (-n) % slab
+    x1p = jnp.pad(x1c, ((0, pad), (0, 0)))
+    gp = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+    nb = (n + pad) // slab
+    x1b = x1p.reshape(nb, slab, d)
+    gb = jnp.moveaxis(gp.reshape(B, nb, slab, -1), 1, 0)
+    a2 = x2c[None] / ls
+    m = x2c.shape[0]
+    acc0 = (jnp.zeros((B, m), jnp.float32), jnp.zeros((B, m, d), jnp.float32))
+
+    def body(carry, inp):
+        cols, Wtx1 = carry
+        xb, gblk = inp
+        d2 = _sqdist(xb[None] / ls, a2)                   # (B, S, m)
+        W = gblk.astype(jnp.float32) * _dprofile(d2, kind)
+        rows_i = jnp.sum(W, axis=-1)
+        cols = cols + jnp.sum(W, axis=-2)
+        Wx2_i = jnp.einsum("bij,jd->bid", W, x2c, precision=_HIGHEST)
+        Wtx1 = Wtx1 + jnp.einsum("bij,id->bjd", W, xb, precision=_HIGHEST)
+        return (cols, Wtx1), (rows_i, Wx2_i)
+
+    (cols, Wtx1), (rows_s, Wx2_s) = jax.lax.scan(body, acc0, (x1b, gb))
+    rows = jnp.moveaxis(rows_s, 0, 1).reshape(B, -1)[:, :n]
+    Wx2 = jnp.moveaxis(Wx2_s, 0, 1).reshape(B, -1, d)[:, :n]
+    return rows, cols, Wx2, Wtx1
+
+
 def _skm_bwd(kind, use_pallas, res, g):
     x1c, x2c, ls = res
-    d2 = _sqdist(x1c[None] / ls, x2c[None] / ls)
-    W = g * _dprofile(d2, kind)                               # (B,n,m)
-    rows = jnp.sum(W, axis=-1)                                # (B,n)
-    cols = jnp.sum(W, axis=-2)                                # (B,m)
-    Wx2 = jnp.einsum("bij,jd->bid", W, x2c, precision=_HIGHEST)
-    Wtx1 = jnp.einsum("bij,id->bjd", W, x1c, precision=_HIGHEST)
+    n, m = x1c.shape[0], x2c.shape[0]
+    # slab only under real memory pressure (the monolithic path is ~20%
+    # faster when W fits): fp32 W above ~2 GB
+    if (g.dtype in (jnp.float32, jnp.bfloat16)
+            and ls.shape[0] * n * m > 500_000_000):
+        rows, cols, Wx2, Wtx1 = _skm_bwd_slabbed(kind, x1c, x2c, ls, g)
+    else:
+        d2 = _sqdist(x1c[None] / ls, x2c[None] / ls)
+        W = g * _dprofile(d2, kind)                           # (B,n,m)
+        rows = jnp.sum(W, axis=-1)                            # (B,n)
+        cols = jnp.sum(W, axis=-2)                            # (B,m)
+        Wx2 = jnp.einsum("bij,jd->bid", W, x2c, precision=_HIGHEST)
+        Wtx1 = jnp.einsum("bij,id->bjd", W, x1c, precision=_HIGHEST)
     lsq = ls[:, 0, :]                                         # (B,d)
     ls2 = lsq * lsq
     sq1 = jnp.einsum("bi,id->bd", rows, x1c * x1c, precision=_HIGHEST)

@@ -250,7 +250,9 @@ class MultitaskGPModel(Module):
         if self.model_type == "ICM":
             K = self.covar_module(x)[0]
             B = self.task_covar_matrix()
-            ll = kron_ops.icm_log_prob(K, B, Sigma_t, Ydelta)
+            # batched-Cholesky variant: exact same MLL, one t×t eigh instead
+            # of the n×n eigh (the training hot path; see icm_log_prob_chol)
+            ll = kron_ops.icm_log_prob_chol(K, B, Sigma_t, Ydelta)
         else:
             Ks = self.covar_module(x)
             H = self.covar_factor[..., 0].T

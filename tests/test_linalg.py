@@ -112,6 +112,33 @@ class TestKron:
         got = kron_ops.icm_log_prob(K, B, St, Y, jitter=0.0)
         np.testing.assert_allclose(float(got), expected, rtol=1e-8)
 
+    def test_icm_log_prob_chol_matches_eig(self):
+        """The batched-Cholesky training variant == the joint-diagonalization
+        value AND gradients (both exact; only the factorization differs)."""
+        K, B, St, Y = self._setup(seed=3)
+        v_eig = float(kron_ops.icm_log_prob(K, B, St, Y, jitter=0.0))
+        v_chol = float(kron_ops.icm_log_prob_chol(K, B, St, Y, jitter=0.0))
+        np.testing.assert_allclose(v_chol, v_eig, rtol=1e-10)
+        g_eig = jax.grad(lambda *a: kron_ops.icm_log_prob(*a, jitter=0.0),
+                         argnums=(0, 1, 2, 3))(K, B, St, Y)
+        g_chol = jax.grad(lambda *a: kron_ops.icm_log_prob_chol(*a, jitter=0.0),
+                          argnums=(0, 1, 2, 3))(K, B, St, Y)
+        for a, b, name in zip(g_chol, g_eig, ("dK", "dB", "dSt", "dY")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-7, atol=1e-10, err_msg=name)
+
+    def test_icm_log_prob_chol_low_rank_B(self):
+        """B = ffᵀ + tiny diag (rank-1 ICM with fix_diagonal): γ_j ≈ 0
+        eigenvalues must stay PSD-safe."""
+        K, _, St, Y = self._setup(seed=4)
+        t = Y.shape[1]
+        rng = np.random.default_rng(5)
+        f = rng.standard_normal((t, 1))
+        B = jnp.asarray(f @ f.T + 4.5e-5 * np.eye(t))
+        v_eig = float(kron_ops.icm_log_prob(K, B, St, Y, jitter=0.0))
+        v_chol = float(kron_ops.icm_log_prob_chol(K, B, St, Y, jitter=0.0))
+        np.testing.assert_allclose(v_chol, v_eig, rtol=1e-9)
+
     def test_icm_solve_matches_dense(self):
         K, B, St, Y = self._setup(seed=7)
         n, t = Y.shape
