@@ -243,7 +243,10 @@ def run_study(v_test: str = "void", v_test_2: str = "void",
                         frame.loc[label, updated_cols]
                     n_success[label + "_conv"] += 1
 
-        if (i_run + 1) in landmarks and export_results:
+        # landmarks as in experiments.py:71, plus always at the final run so
+        # short studies (n_runs not a multiple of 10) still export
+        if ((i_run + 1) in landmarks or i_run + 1 == n_random_runs) \
+                and export_results:
             df_part = df.copy()
             df_part[updated_cols] = df_part[updated_cols] / (i_run + 1)
             if reject_nonconverged_runs:

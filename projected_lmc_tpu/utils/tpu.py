@@ -15,7 +15,16 @@ import time
 
 
 def ensure_tpu(max_wait_s: float = 240) -> bool:
-    """Block until ``jax.devices()`` works; returns True if a TPU is up."""
+    """Block until ``jax.devices()`` works; returns True if a TPU is up.
+
+    Also points jax at the repo-local persistent compilation cache — the
+    tunneled AOT compiler takes minutes for large graphs, so every
+    TPU-facing entry point should reuse compiled executables across runs."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(repo_root, ".jax_cache"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
     import jax
     deadline = time.time() + max_wait_s
     while True:

@@ -11,7 +11,10 @@ Examples (the paper's figures, experiments.py:51-57):
 """
 
 import argparse
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):

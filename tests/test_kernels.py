@@ -171,6 +171,31 @@ class TestStationaryCustomVJP:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-8, atol=1e-9, err_msg=name)
 
+    def test_slabbed_backward_matches_monolithic(self):
+        """_skm_bwd_slabbed (the >2GB memory-pressure path, including a slab
+        size that does NOT divide n) == the monolithic reductions."""
+        from projected_lmc_tpu import kernels as km
+        rng = np.random.default_rng(7)
+        n, m, B, d = 530, 40, 3, 2   # n prime-ish: exercises padding
+        x1 = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+        x2 = jnp.asarray(rng.standard_normal((m, d)).astype(np.float32))
+        ls = jnp.asarray(rng.uniform(0.5, 2.0, (B, 1, d)).astype(np.float32))
+        g = jnp.asarray(rng.standard_normal((B, n, m)).astype(np.float32))
+        rows_s, cols_s, Wx2_s, Wtx1_s = km._skm_bwd_slabbed(
+            "matern25", x1, x2, ls, g)
+        d2 = km._sqdist(x1[None] / ls, x2[None] / ls)
+        W = g * km._dprofile(d2, "matern25")
+        np.testing.assert_allclose(np.asarray(rows_s), np.asarray(W.sum(-1)),
+                                   rtol=2e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cols_s), np.asarray(W.sum(-2)),
+                                   rtol=2e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(Wx2_s), np.asarray(jnp.einsum("bij,jd->bid", W, x2)),
+            rtol=2e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(Wtx1_s), np.asarray(jnp.einsum("bij,id->bjd", W, x1)),
+            rtol=2e-5, atol=1e-5)
+
     def test_centering_beats_naive_at_large_offsets(self):
         """Inputs with a large common offset (datetime-like features): the
         centered op keeps coincident pairs at exactly K=1 where the naive
