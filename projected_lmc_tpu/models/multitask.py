@@ -80,8 +80,15 @@ class MultitaskGPModel(Module):
 
         rng = np.random.default_rng(seed)
         if init_lmc_coeffs:
-            coeffs = np.asarray(init_lmc_coefficients(np.asarray(self.train_y.T),
-                                                      n_latents))       # (q, T)
+            # host-side copy of the ORIGINAL input for the SVD init — going
+            # through self.train_y would be a device->host round trip at
+            # construction time (minutes each when the TPU tunnel is degraded)
+            y_host = np.asarray(train_y, dtype)
+            if y_host.ndim == 1:
+                y_host = y_host[:, None]
+            elif y_host.shape[0] == n_tasks and y_host.shape[1] != n_tasks:
+                y_host = y_host.T                                       # (n, T)
+            coeffs = np.asarray(init_lmc_coefficients(y_host, n_latents))  # (q, T)
             factor = coeffs.T                                           # (T, q)
         else:
             factor = rng.standard_normal((n_tasks, n_latents))

@@ -176,6 +176,9 @@ class ProjectedGPModel(ExactGPModel):
         if train_x.ndim == 1:
             train_x = train_x[:, None]
         dtype = train_x.dtype
+        # host copy for the SVD init before the device conversion (avoids a
+        # construction-time device->host fetch)
+        train_y_host = np.asarray(train_y, dtype)
         train_y = jnp.asarray(train_y, dtype)
         n_data, p = train_y.shape
         if p != n_tasks:
@@ -201,11 +204,11 @@ class ProjectedGPModel(ExactGPModel):
         # -- mixing matrix init (projected_lmc.py:931-970) -------------------
         if init_lmc_coeffs:
             if scalar_B and BDN:
-                Q_plus, R_diag = init_lmc_coefficients(np.asarray(train_y),
+                Q_plus, R_diag = init_lmc_coefficients(train_y_host,
                                                        n_latents=n_latents, QR_form=True)
                 R = np.asarray(R_diag)
             else:
-                Q_plus, R_padded = init_lmc_coefficients(np.asarray(train_y),
+                Q_plus, R_padded = init_lmc_coefficients(train_y_host,
                                                          n_latents=p, QR_form=True)
                 R = np.asarray(R_padded)[:n_latents]
         else:

@@ -58,6 +58,9 @@ class VariationalMultitaskGPModel(Module):
         n = train_x.shape[0]
 
         if train_y is not None:
+            # host copy for the SVD init (avoids a construction-time
+            # device->host fetch)
+            train_y_host = np.asarray(train_y, dtype)
             train_y = jnp.asarray(train_y, dtype)
             if n_tasks is None or train_y.shape[1] != n_tasks:
                 n_tasks = train_y.shape[1]
@@ -100,7 +103,7 @@ class VariationalMultitaskGPModel(Module):
         self.likelihood = likelihood
 
         if init_lmc_coeffs and train_y is not None:
-            coeffs = np.asarray(init_lmc_coefficients(np.asarray(train_y), n_latents))
+            coeffs = np.asarray(init_lmc_coefficients(train_y_host, n_latents))
             self.lmc_coeffs = jnp.asarray(coeffs, dtype)        # (q, T)
         else:
             rng = np.random.default_rng(seed)
