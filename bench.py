@@ -9,11 +9,15 @@ estimator family gpytorch uses on the A100 (CG + Lanczos inside an eager
 Python loop), but compiled to one XLA program whose hot ops are batched MXU
 matmuls, with probes redrawn per step.
 
-vs_baseline: measured iters/sec divided by 0.5 it/s — a documented *estimate*
-of gpytorch exact-LMC step throughput at this size on A100 (no published
-number exists; BASELINE.md notes the reference repo publishes none). The
-driver's north star is >10× that baseline, i.e. vs_baseline > 10 means target
-met.
+vs_baseline: measured iters/sec divided by the MEASURED gpytorch-equivalent
+baseline in results/baseline_torch.json (produced by
+scripts/baseline_torch.py: an eager-torch reimplementation of gpytorch's
+exact-LMC inv_quad_logdet estimator measured per-phase on this host, then
+extrapolated to an A100 through a host-validated flop/byte/launch ledger —
+methodology and every measured quantity are recorded in that file and echoed
+into this bench's details). The driver's north star is >10× that baseline,
+i.e. vs_baseline > 10 means target met. Falls back to the round-1 documented
+estimate of 0.5 it/s only if the measurement file is absent.
 
 Budget discipline (round-1 postmortem: rc=124, all results lost):
   * one global deadline (BENCH_DEADLINE_S, default 450 s) — a SIGALRM handler
@@ -47,14 +51,38 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 450))
 T_START = time.time()
-A100_GPYTORCH_ITERS_PER_SEC_EST = 0.5  # documented estimate; see docstring
+
+
+def _load_baseline():
+    """Measured A100-extrapolated gpytorch baseline (see docstring)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results", "baseline_torch.json")
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        return float(d["a100_gpytorch_iters_per_sec_est"]), {
+            "baseline_source": "results/baseline_torch.json (measured)",
+            "baseline_host_cpu_iters_per_sec": d.get("host_cpu_iters_per_sec"),
+            "baseline_a100_est_iters_per_sec":
+                d.get("a100_gpytorch_iters_per_sec_est"),
+            "baseline_a100_sol_iters_per_sec":
+                d.get("a100_algorithm_sol_iters_per_sec"),
+            "baseline_methodology": d.get("methodology"),
+        }
+    except (OSError, KeyError, ValueError):
+        return 0.5, {"baseline_source":
+                     "fallback documented estimate 0.5 it/s (no measurement)"}
+
+
+A100_GPYTORCH_ITERS_PER_SEC_EST, _BASELINE_META = _load_baseline()
 
 STATE = {
     "metric": "exact-LMC train iters/sec (n=10k, T=7, q=4, Matern, full jit step)",
     "value": None,
     "unit": "iters/sec",
     "vs_baseline": None,
-    "details": {},
+    "details": {"chip": os.environ.get("PALLAS_AXON_TPU_GEN", "unknown"),
+                **_BASELINE_META},
 }
 
 
@@ -198,6 +226,36 @@ def bench_cholesky(n=8192, reps=8):
     return (n**3 / 3) / dt / 1e9, dt * 1e3
 
 
+def bench_blocked_cholesky(n=8192, reps=8, block=1024):
+    """Blocked bf16-trailing-update Cholesky (ops/blocked_cholesky.py) vs the
+    stock XLA factorization measured by bench_cholesky. Returns GFLOP/s, ms,
+    and the reconstruction error of the bf16 factor."""
+    import jax
+    import jax.numpy as jnp
+    from projected_lmc_tpu.ops.blocked_cholesky import cholesky_bf16_blocked
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.standard_normal((n, 256)).astype(np.float32))
+    K = A @ A.T / 256 + 1e-2 * jnp.eye(n)
+
+    @jax.jit
+    def step(M):
+        L = cholesky_bf16_blocked(M, block=block)
+        return M + 0.0 * L[0, 0]
+
+    M = step(K)
+    _sync(M)
+    t0 = time.time()
+    for _ in range(reps):
+        M = step(M)
+    _sync(M)
+    dt = (time.time() - t0) / reps
+    L = jnp.tril(cholesky_bf16_blocked(K, block=block))
+    rel = float(jnp.max(jnp.abs(L @ L.T - K)) / jnp.max(jnp.abs(K)))
+    return dict(gflops=round((n**3 / 3) / dt / 1e9, 1),
+                ms=round(dt * 1e3, 2), recon_rel_err=round(rel, 5),
+                block=block)
+
+
 def bench_predict_p50(n=44480, d=21, T=7, q=7, m_ind=500, n_test=4449, reps=5):
     """Projected-LMC SGPR posterior predict latency (SARCOS full shapes)."""
     import jax
@@ -222,8 +280,14 @@ def bench_predict_p50(n=44480, d=21, T=7, q=7, m_ind=500, n_test=4449, reps=5):
     return float(np.median(times) * 1e3)
 
 
-def bench_pallas_delta(n=8192, m=8192, d=4, q=4, reps=5):
-    """Fused Pallas kernel-matrix build vs the XLA path, (q, n, m) Matern."""
+def bench_pallas_delta(n=8192, m=8192, d=4, q=4, reps=6):
+    """Fused Pallas kernel-matrix build vs the XLA path, (q, n, m) Matern.
+
+    Each measurement dispatches ``reps`` DEPENDENT builds (the next call's
+    input is perturbed by the previous output) and fetches once — the
+    tunneled TPU adds ~25 ms per host fetch, which in round 1 drowned the
+    per-build delta (34 vs 39 ms reported; the real build is far cheaper).
+    Measures fp32-out and bf16-out variants (the training stack is bf16)."""
     import jax
     import jax.numpy as jnp
     from projected_lmc_tpu.ops.pallas_kernels import (fused_kernel_matrix,
@@ -233,27 +297,37 @@ def bench_pallas_delta(n=8192, m=8192, d=4, q=4, reps=5):
     x2 = jnp.asarray(rng.standard_normal((m, d)).astype(np.float32))
     ls = jnp.asarray(rng.uniform(0.5, 2.0, (q, 1, d)).astype(np.float32))
 
-    def timed(fn):
-        out = fn(x1, x2, ls)
+    def timed(build):
+        @jax.jit
+        def chain(a):
+            for _ in range(reps):
+                K = build(a, x2, ls)
+                a = a + (0.0 * K[0, 0, 0]).astype(a.dtype)
+            return a
+        out = chain(x1)
         _sync(out)
-        times = []
-        for _ in range(reps):
-            t0 = time.time()
-            out = fn(x1, x2, ls)
-            _sync(out)
-            times.append(time.time() - t0)
-        return float(np.median(times) * 1e3)
+        t0 = time.time()
+        out = chain(out)
+        _sync(out)
+        return (time.time() - t0) / reps * 1e3
 
-    t_pallas = timed(jax.jit(
-        lambda a, b, l: fused_kernel_matrix(a, b, l, "matern25", False)))
-    t_xla = timed(jax.jit(
-        lambda a, b, l: xla_kernel_matrix(a, b, l, "matern25")))
+    t_pallas = timed(lambda a, b, l: fused_kernel_matrix(a, b, l, "matern25",
+                                                         False))
+    t_xla = timed(lambda a, b, l: xla_kernel_matrix(a, b, l, "matern25"))
+    t_pallas_bf16 = timed(lambda a, b, l: fused_kernel_matrix(
+        a, b, l, "matern25", False, jnp.bfloat16))
+    t_xla_bf16 = timed(lambda a, b, l: xla_kernel_matrix(
+        a, b, l, "matern25").astype(jnp.bfloat16))
     # parity on hardware (max abs error)
     K1 = fused_kernel_matrix(x1[:512], x2[:512], ls, "matern25", False)
     K2 = xla_kernel_matrix(x1[:512], x2[:512], ls, "matern25")
     err = float(jnp.max(jnp.abs(K1 - K2)))
     return dict(pallas_ms=round(t_pallas, 2), xla_ms=round(t_xla, 2),
-                speedup=round(t_xla / t_pallas, 2), max_abs_err=err)
+                speedup=round(t_xla / t_pallas, 2),
+                pallas_bf16_ms=round(t_pallas_bf16, 2),
+                xla_bf16_ms=round(t_xla_bf16, 2),
+                speedup_bf16=round(t_xla_bf16 / t_pallas_bf16, 2),
+                max_abs_err=err)
 
 
 def _reexec_without_claim():
@@ -390,6 +464,14 @@ def _stage_main(argv):
             except Exception as e:
                 print("RESULT", json.dumps(
                     {"cholesky_error": repr(e)[:160]}), flush=True)
+        if left() > 40:
+            try:
+                print("RESULT", json.dumps(
+                    {"blocked_cholesky_bf16_8192": bench_blocked_cholesky()}),
+                    flush=True)
+            except Exception as e:
+                print("RESULT", json.dumps(
+                    {"blocked_cholesky_error": repr(e)[:160]}), flush=True)
         if left() > 90:
             try:
                 print("RESULT", json.dumps(
@@ -425,6 +507,10 @@ def _stage_main(argv):
             out["cholesky_ms_8192"] = round(ms, 2)
         except Exception as e:
             out["cholesky_error"] = repr(e)[:160]
+        try:
+            out["blocked_cholesky_bf16_8192"] = bench_blocked_cholesky()
+        except Exception as e:
+            out["blocked_cholesky_error"] = repr(e)[:160]
         try:
             out["pallas_vs_xla_kernel_build"] = bench_pallas_delta()
         except Exception as e:

@@ -65,8 +65,9 @@ def _dprofile(d2, kind):
     return (-5.0 / 6.0) * (1.0 + math.sqrt(5.0) * r) * jnp.exp(-math.sqrt(5.0) * r)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def stationary_kernel_matrix(x1, x2, ls, kind, use_pallas=False):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def stationary_kernel_matrix(x1, x2, ls, kind, use_pallas=False,
+                             out_dtype=None):
     """Batched stationary kernel matrix K_b = k(|x1/ls_b − x2/ls_b|²), (B,n,m).
 
     x1 (n,d) and x2 (m,d) are SHARED across the lengthscale batch (B,1,d) —
@@ -79,21 +80,30 @@ def stationary_kernel_matrix(x1, x2, ls, kind, use_pallas=False):
     gradient rule for the Pallas fused-tile forward (``use_pallas=True``),
     which has no autodiff rule of its own.
 
+    ``out_dtype`` (e.g. bfloat16 for the matrix-free LMC stack) downcasts the
+    result at the producer: the Pallas path writes downcast tiles straight
+    from VMEM; the XLA path lets the compiler fuse the cast into the
+    construction epilogue. Either way no full-precision (B, n, m) object
+    reaches HBM.
+
     Inputs are centered (translation invariance, exact) so the expansion is
     numerically safe for large-offset features (e.g. datetime axes).
     """
-    K, _ = _skm_fwd(x1, x2, ls, kind, use_pallas)
+    K, _ = _skm_fwd(x1, x2, ls, kind, use_pallas, out_dtype)
     return K
 
 
-def _skm_fwd(x1, x2, ls, kind, use_pallas):
+def _skm_fwd(x1, x2, ls, kind, use_pallas, out_dtype=None):
     mu = jax.lax.stop_gradient(jnp.mean(x1, axis=0))
     x1c, x2c = x1 - mu, x2 - mu
-    if use_pallas and jax.default_backend() == "tpu":
+    if use_pallas and jax.default_backend() == "tpu" \
+            and x1.dtype == jnp.float32:
         from .ops.pallas_kernels import fused_kernel_matrix
-        K = fused_kernel_matrix(x1c, x2c, ls, kind, False)
+        K = fused_kernel_matrix(x1c, x2c, ls, kind, False, out_dtype)
     else:
         K = _profile(_sqdist(x1c[None] / ls, x2c[None] / ls), kind)
+        if out_dtype is not None:
+            K = K.astype(out_dtype)
     return K, (x1c, x2c, ls)
 
 
@@ -138,7 +148,7 @@ def _skm_bwd_slabbed(kind, x1c, x2c, ls, g):
     return rows, cols, Wx2, Wtx1
 
 
-def _skm_bwd(kind, use_pallas, res, g):
+def _skm_bwd(kind, use_pallas, out_dtype, res, g):
     x1c, x2c, ls = res
     n, m = x1c.shape[0], x2c.shape[0]
     # slab only under real memory pressure (the monolithic path is ~20%
@@ -159,7 +169,12 @@ def _skm_bwd(kind, use_pallas, res, g):
     sq2 = jnp.einsum("bj,jd->bd", cols, x2c * x2c, precision=_HIGHEST)
     crossd = jnp.einsum("bid,id->bd", Wx2, x1c, precision=_HIGHEST)
     # dd2/dls_bd = −2 (x1_id − x2_jd)² / ls_bd³
-    dls = (sq1 + sq2 - 2.0 * crossd) * (-2.0) / (lsq * ls2)
+    dls = (sq1 + sq2 - 2.0 * crossd) * (-2.0)
+    if lsq.shape[-1] == 1 and dls.shape[-1] != 1:
+        # scalar (non-ARD) lengthscale shared over d>1 features: the cotangent
+        # is the sum of the per-dimension contributions
+        dls = jnp.sum(dls, axis=-1, keepdims=True)
+    dls = dls / (lsq * ls2)
     dx1 = 2.0 * jnp.sum((rows[..., None] * x1c[None] - Wx2) / ls2[:, None, :],
                         axis=0)
     dx2 = 2.0 * jnp.sum((cols[..., None] * x2c[None] - Wtx1) / ls2[:, None, :],
@@ -264,24 +279,29 @@ class _StationaryKernel(Kernel):
     _pallas_kind = None  # set by subclasses that have a fused Pallas tile op
 
     def __init__(self, ard_num_dims=1, batch_shape=1, active_dims=None,
-                 lengthscale_prior=None, use_pallas=False, dtype=jnp.float32):
+                 lengthscale_prior=None, use_pallas=True, dtype=jnp.float32):
         self._setup(batch_shape, active_dims)
         d = int(ard_num_dims) if ard_num_dims else 1
         init = constraints.inv_softplus(jnp.asarray(1.0, dtype))
         # gpytorch shape convention: (batch, 1, d)
         self.raw_lengthscale = jnp.full((self.batch, 1, d), init, dtype=dtype)
         self.lengthscale_prior = lengthscale_prior
+        # default ON: the fused Pallas tile builder serves every fp32 dense
+        # evaluation on TPU (the _skm_fwd guard falls back to the XLA path on
+        # CPU, in x64, and for shapes the tile op does not cover)
         self.use_pallas = bool(use_pallas)
 
     def _scaled(self, x1, x2):
         ls = self.lengthscale  # (B, 1, d)
         return x1 / ls, x2 / ls
 
-    def __call__(self, x1, x2=None, diag=False):
+    def __call__(self, x1, x2=None, diag=False, out_dtype=None):
         """Dense evaluations on shared (2-D) inputs route through the
         custom-VJP :func:`stationary_kernel_matrix` (memory-optimal backward;
         Pallas forward tiles when ``use_pallas``). Batched 3-D inputs and
-        diagonals fall back to the generic path."""
+        diagonals fall back to the generic path. ``out_dtype`` requests a
+        downcast result materialized directly at the producer (bf16
+        kernel stacks)."""
         a1 = jnp.asarray(x1)
         a2 = a1 if x2 is None else jnp.asarray(x2)
         if not diag and self._pallas_kind and a1.ndim <= 2 and a2.ndim <= 2:
@@ -294,8 +314,10 @@ class _StationaryKernel(Kernel):
                 a1 = a1[:, idx]
                 a2 = a2[:, idx]
             return stationary_kernel_matrix(a1, a2, self.lengthscale,
-                                            self._pallas_kind, self.use_pallas)
-        return super().__call__(x1, x2, diag=diag)
+                                            self._pallas_kind, self.use_pallas,
+                                            out_dtype)
+        K = super().__call__(x1, x2, diag=diag)
+        return K if out_dtype is None else K.astype(out_dtype)
 
     def _maybe_pallas(self, x1, x2):
         """Fused Pallas tile path (ops/pallas_kernels.py): inputs are shared

@@ -261,7 +261,6 @@ class MultitaskGPModel(Module):
             # of the n×n eigh (the training hot path; see icm_log_prob_chol)
             ll = kron_ops.icm_log_prob_chol(K, B, Sigma_t, Ydelta)
         else:
-            Ks = self.covar_module(x)
             H = self.covar_factor[..., 0].T
             St = Sigma_t + jnp.diag(self._lmc_extra_diag())
             if iterative is None:
@@ -277,22 +276,31 @@ class MultitaskGPModel(Module):
                         k2, (num_probes, self.n_latents,
                              min(precond_rank, n)), Ydelta.dtype)
                     roots = self._precond_roots(x, precond_rank)
-                    # bf16 stack END-TO-END: XLA fuses the cast into the
-                    # kernel-construction epilogue, so no fp32 (q,n,n) object
-                    # ever reaches HBM; the custom VJPs carry bf16 cotangents
+                    # bf16 stack END-TO-END, downcast at the producer: the
+                    # Pallas tile builder writes bf16 tiles straight from
+                    # VMEM (the XLA fallback fuses the cast into the
+                    # construction epilogue) — no fp32 (q,n,n) object ever
+                    # reaches HBM; the custom VJPs carry bf16 cotangents
                     # (preconditioner, probes, solves, reductions stay fp32)
-                    Kin = Ks.astype(jnp.bfloat16) if matvec_bf16 else Ks
+                    if matvec_bf16:
+                        Kin = self.covar_module(x, out_dtype=jnp.bfloat16) \
+                            if getattr(self.covar_module, "_pallas_kind",
+                                       None) else \
+                            self.covar_module(x).astype(jnp.bfloat16)
+                    else:
+                        Kin = self.covar_module(x)
                     ll = it_ops.lmc_pcg_log_prob(
                         Kin, H, St, Ydelta, eps, xi, roots, max_cg_iters,
                         cg_tol, matvec_bf16, precond_rank)
                 else:
+                    Ks = self.covar_module(x)
                     probes = it_ops.draw_probes(key, n, self.n_tasks,
                                                 num_probes, Ydelta.dtype)
                     ll = it_ops.lmc_iterative_log_prob(
                         Ks, H, St, Ydelta, probes, max_cg_iters, cg_tol,
                         slq_steps, matvec_bf16, precond_rank)
             else:
-                ll = wb_ops.lmc_log_prob(Ks, H, St, Ydelta)
+                ll = wb_ops.lmc_log_prob(self.covar_module(x), H, St, Ydelta)
         num_data = n * self.n_tasks
         return (ll + self.covar_module.prior_log_prob()) / num_data
 
@@ -426,6 +434,21 @@ class MultitaskGPModel(Module):
                 jax.lax.stop_gradient(yminusmu.reshape(n, self.n_tasks)))
 
     # -- introspection -------------------------------------------------------------
+    def kernel_cond(self):
+        """Condition number of the full (n·T, n·T) train covariance incl.
+        noise — the inherited introspection hook of the reference
+        (projected_lmc.py:367-369 via MultitaskGPModel's ExactGPModel base)."""
+        x = self.train_x
+        Sigma_t = self.likelihood.task_covariance()
+        if self.model_type == "ICM":
+            cov = KronCov(self.covar_module(x)[0], self.task_covar_matrix(),
+                          Sigma_t)
+        else:
+            St = Sigma_t + jnp.diag(self._lmc_extra_diag())
+            cov = SumKronRank1Cov(self.covar_module(x),
+                                  self.covar_factor[..., 0].T, St)
+        return jnp.linalg.cond(cov.dense())
+
     def lscales(self, unpacked: bool = True):
         """(projected_lmc.py:507-552) — n_latents × dims lengthscales."""
         cm = self.covar_module

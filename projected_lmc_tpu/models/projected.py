@@ -32,7 +32,11 @@ from ..likelihoods import GaussianLikelihood, FixedTaskNoise
 from ..distributions import MultitaskMultivariateNormal, SumKronRank1Cov
 from ..ops.init_ops import init_lmc_coefficients
 from ..ops.cholesky import safe_cholesky, solve_triangular
-from ..constraints import GreaterThan
+from ..constraints import (GreaterThan, scalar_param, positive_diagonal_param,
+                           positive_diagonal_param_inverse,
+                           upper_triangular_param,
+                           upper_triangular_param_inverse,
+                           lower_triangular_param)
 from .exact import ExactGPModel, _canon_targets
 
 _HIGHEST = jax.lax.Precision.HIGHEST
@@ -91,19 +95,16 @@ class LMCMixingMatrix(Module):
             self.Q_base = Q_plus
             k = Q_plus.shape[1]
             self.ortho_raw = jnp.zeros((k, k), dtype)
-            # R parametrization raw storage (exp on the diagonal)
+            # R parametrization raw storage (exp on the diagonal), via the
+            # right_inverse maps of constraints.py (torch parametrize parity,
+            # projected_lmc.py:220-240)
+            q = self.n_latents
+            Rc = jnp.asarray(R).at[jnp.arange(q), jnp.arange(q)].set(
+                jnp.clip(jnp.diagonal(R), 1e-12))
             if diagonal_R:
-                q = self.n_latents
-                raw = jnp.zeros((q, q), dtype)
-                raw = raw.at[jnp.arange(q), jnp.arange(q)].set(
-                    jnp.log(jnp.clip(jnp.diagonal(R), 1e-12)))
-                self.R_raw = raw
+                self.R_raw = positive_diagonal_param_inverse(Rc)
             else:
-                q = self.n_latents
-                raw = jnp.triu(R)
-                raw = raw.at[jnp.arange(q), jnp.arange(q)].set(
-                    jnp.log(jnp.clip(jnp.diagonal(R), 1e-12)))
-                self.R_raw = raw
+                self.R_raw = upper_triangular_param_inverse(jnp.triu(Rc))
 
     # -- component accessors --------------------------------------------------
     def _Q_plus(self):
@@ -113,13 +114,9 @@ class LMCMixingMatrix(Module):
                           precision=_HIGHEST)
 
     def _R(self):
-        q = self.n_latents
-        idx = jnp.arange(q)
         if self.diagonal_R:
-            return jnp.zeros_like(self.R_raw).at[idx, idx].set(
-                jnp.exp(jnp.diagonal(self.R_raw)))
-        R = jnp.triu(self.R_raw)
-        return R.at[idx, idx].set(jnp.exp(jnp.diagonal(self.R_raw)))
+            return positive_diagonal_param(self.R_raw)
+        return upper_triangular_param(self.R_raw)
 
     def QR(self):
         """Returns (Q, R, Q_orth) — projected_lmc.py:864-875."""
@@ -258,9 +255,8 @@ class ProjectedGPModel(ExactGPModel):
             # ScalarParam with clamp bounds (noise_thresh, -noise_thresh) (:976)
             if self.log_B_tilde_raw.size == 0:
                 return self.log_B_tilde_raw
-            val = jnp.clip(jnp.mean(self.log_B_tilde_raw),
-                           self.noise_thresh, -self.noise_thresh)
-            return jnp.ones_like(self.log_B_tilde_raw) * val
+            return scalar_param(self.log_B_tilde_raw,
+                                (self.noise_thresh, -self.noise_thresh))
         if self.B_mode == "diagonal":
             return GreaterThan(self.noise_thresh).forward(self.log_B_tilde_raw)
         raise AttributeError("log_B_tilde undefined for full B̃ parametrization")
@@ -268,12 +264,8 @@ class ProjectedGPModel(ExactGPModel):
     @property
     def B_tilde_inv_chol(self):
         """Lower-triangular factor of B̃⁻¹ (full mode, :983-984)."""
-        raw = self.B_tilde_inv_chol_raw
-        k = raw.shape[-1]
-        idx = jnp.arange(k)
-        low = jnp.tril(raw)
-        d = jnp.clip(jnp.diagonal(raw), self.noise_thresh, -self.noise_thresh)
-        return low.at[idx, idx].set(jnp.exp(d))
+        return lower_triangular_param(self.B_tilde_inv_chol_raw,
+                                      (self.noise_thresh, -self.noise_thresh))
 
     def projected_noise(self):
         """σ_P, size q (projected_lmc.py:996-1000)."""

@@ -29,7 +29,7 @@ from ..module import Module
 from ..kernels import handle_covar, KERNEL_REGISTRY
 from ..means import MEAN_REGISTRY
 from ..likelihoods import MultitaskGaussianLikelihood
-from ..ops.init_ops import init_lmc_coefficients, latin_hypercube
+from ..ops.init_ops import init_lmc_coefficients, latin_hypercube, sobol
 from ..ops.cholesky import safe_cholesky, solve_triangular, cho_solve, logdet_from_chol
 from .exact import _resolve
 from .multitask import _MeanVarMT
@@ -48,7 +48,8 @@ class VariationalMultitaskGPModel(Module):
                  prior_scales=None, prior_width=None, mean_type="constant",
                  kernel_type="rbf", outputscales: bool = False, decomp=None,
                  likelihood: MultitaskGaussianLikelihood = None,
-                 ker_kwargs=None, **kwargs):
+                 ker_kwargs=None, distrib: str = "cholesky",
+                 ind_point_method: str = "lhc", **kwargs):
         train_x = jnp.asarray(train_x)
         if train_x.ndim == 1:
             train_x = train_x[:, None]
@@ -69,22 +70,36 @@ class VariationalMultitaskGPModel(Module):
 
         self.whitened = float(train_ind_ratio) != 1.0
         if not self.whitened:
-            # inducing fixed at train inputs, unwhitened strategy (:724-729)
+            # inducing fixed at train inputs, unwhitened strategy + Cholesky
+            # distribution forced (:724-729)
             inducing = train_x
             self._frozen_params_ = ("inducing_points",)
+            distrib = "cholesky"
         else:
             n_ind = int(np.floor(n / float(train_ind_ratio)))
+            qmc = sobol if ind_point_method == "sobol" else latin_hypercube
             inducing = jnp.asarray(
-                2.0 * latin_hypercube(n_ind, self.dim, seed=seed) - 1.0, dtype)
+                2.0 * qmc(n_ind, self.dim, seed=seed) - 1.0, dtype)
         self.inducing_points = inducing
         m = inducing.shape[0]
 
-        # CholeskyVariationalDistribution (batch q): mean 0; chol initialized at
-        # the prior — I for the whitened strategy, chol(K_zz) for the
-        # unwhitened one (gpytorch's initialize_variational_distribution)
+        # Variational distribution q(u_b) (projected_lmc.py:737 ``distrib``):
+        #   cholesky    — full covariance via a lower-tri factor (the only
+        #                 class the reference ever passes);
+        #   mean_field  — diagonal covariance;
+        #   delta       — point estimate (MAP), no covariance parameters.
+        # mean 0; covariance initialized at the prior — I for the whitened
+        # strategy, chol(K_zz) for the unwhitened one (gpytorch's
+        # initialize_variational_distribution).
+        if distrib not in ("cholesky", "mean_field", "delta"):
+            raise ValueError(f"unknown variational distribution {distrib!r}")
+        self.distrib = str(distrib)
         self.var_mean = jnp.zeros((n_latents, m), dtype)
-        self.var_chol = jnp.broadcast_to(jnp.eye(m, dtype=dtype),
-                                         (n_latents, m, m)).copy()
+        if distrib == "cholesky":
+            self.var_chol = jnp.broadcast_to(jnp.eye(m, dtype=dtype),
+                                             (n_latents, m, m)).copy()
+        elif distrib == "mean_field":
+            self.var_chol_diag = jnp.ones((n_latents, m), dtype)
 
         self.covar_module = handle_covar(
             _resolve(KERNEL_REGISTRY, kernel_type, "rbf"), dim=self.dim,
@@ -131,6 +146,15 @@ class VariationalMultitaskGPModel(Module):
         return np.asarray(self.lmc_coeffs)
 
     # -- variational machinery ---------------------------------------------------
+    def _S_chol(self):
+        """(q, m, m) lower factor of the variational covariance S, or None for
+        the delta (point-estimate) distribution."""
+        if self.distrib == "cholesky":
+            return jnp.tril(self.var_chol)
+        if self.distrib == "mean_field":
+            return jax.vmap(jnp.diag)(self.var_chol_diag)
+        return None
+
     def _kernel_factors(self):
         z = self.inducing_points
         Kzz = self.covar_module(z)
@@ -143,19 +167,24 @@ class VariationalMultitaskGPModel(Module):
         or (mean, cov (q,n,n)) (projected_lmc.py:812-813)."""
         Lzz = self._kernel_factors()
         Kxz = self.covar_module(x, self.inducing_points)        # (q, n, m)
-        S_chol = jnp.tril(self.var_chol)
+        S_chol = self._S_chol()
         if self.whitened:
             A = jnp.swapaxes(solve_triangular(Lzz, jnp.swapaxes(Kxz, -1, -2),
                                               lower=True), -1, -2)  # (q, n, m)
             mean = jnp.matmul(A, self.var_mean[..., None], precision=_HIGHEST)[..., 0]
-            AS = jnp.matmul(A, S_chol, precision=_HIGHEST)
+            AS = None if S_chol is None else jnp.matmul(A, S_chol,
+                                                        precision=_HIGHEST)
             if full_cov:
                 Kxx = self.covar_module(x)
-                cov = Kxx - jnp.matmul(A, jnp.swapaxes(A, -1, -2), precision=_HIGHEST) \
-                    + jnp.matmul(AS, jnp.swapaxes(AS, -1, -2), precision=_HIGHEST)
+                cov = Kxx - jnp.matmul(A, jnp.swapaxes(A, -1, -2), precision=_HIGHEST)
+                if AS is not None:
+                    cov = cov + jnp.matmul(AS, jnp.swapaxes(AS, -1, -2),
+                                           precision=_HIGHEST)
                 return mean, cov
             kdiag = self.covar_module(x, diag=True)
-            var = kdiag - jnp.sum(A * A, axis=-1) + jnp.sum(AS * AS, axis=-1)
+            var = kdiag - jnp.sum(A * A, axis=-1)
+            if AS is not None:
+                var = var + jnp.sum(AS * AS, axis=-1)
             return mean, jnp.clip(var, min=1e-12)
         # unwhitened: interp = K_xz K_zz^{-1}
         interp = jnp.swapaxes(cho_solve(Lzz, jnp.swapaxes(Kxz, -1, -2)), -1, -2)
@@ -174,8 +203,13 @@ class VariationalMultitaskGPModel(Module):
 
     def kl_divergence(self):
         """Σ_b KL(q(u_b) ‖ p(u_b)); whitened prior is N(0, I)."""
-        S_chol = jnp.tril(self.var_chol)
-        m = S_chol.shape[-1]
+        S_chol = self._S_chol()
+        m = self.var_mean.shape[-1]
+        if S_chol is None:
+            # delta distribution: KL(δ_m ‖ p) := −log p(m) (gpytorch's
+            # MAP convention; only reachable whitened, prior N(0, I))
+            quad = jnp.sum(self.var_mean * self.var_mean, axis=-1)
+            return jnp.sum(0.5 * (quad + m * math.log(2 * math.pi)))
         diag = jnp.diagonal(S_chol, axis1=-2, axis2=-1)
         logdet_S = jnp.sum(jnp.log(diag * diag), axis=-1)
         if self.whitened:

@@ -97,10 +97,10 @@ def nystrom_precond(Ks, H, St, rank: int = 128, jitter: float = 1e-4,
     Rtall = jnp.transpose(R, (1, 0, 2)).reshape(n, q * m)
     P = jnp.matmul(Rtall.T, Rtall, precision=_HIGHEST).reshape(q, m, q, m)
     cap = (C[:, None, :, None] * P).reshape(q * m, q * m) \
-        + jnp.eye(q * m, dtype=Ks.dtype)
+        + jnp.eye(q * m, dtype=R.dtype)
     L_cap = jnp.linalg.cholesky(cap)
     cap_inv = jax.scipy.linalg.cho_solve(
-        (L_cap, True), jnp.eye(q * m, dtype=Ks.dtype))
+        (L_cap, True), jnp.eye(q * m, dtype=R.dtype))
 
     def minv(V):                                          # V: (r, n, T)
         W = jnp.matmul(V, St_inv, precision=_HIGHEST)     # D⁻¹ v
@@ -312,14 +312,14 @@ def _nystrom_precond_parts(Ks, H, St, rank: int, jitter: float = 1e-4,
     Rtall = jnp.transpose(R, (1, 0, 2)).reshape(n, q * m)
     P = jnp.matmul(Rtall.T, Rtall, precision=_HIGHEST).reshape(q, m, q, m)
     cap = (C[:, None, :, None] * P).reshape(q * m, q * m) \
-        + jnp.eye(q * m, dtype=Ks.dtype)
+        + jnp.eye(q * m, dtype=R.dtype)
     L_cap = jnp.linalg.cholesky(cap)
     logdet_M = (2.0 * n * jnp.sum(jnp.log(jnp.diagonal(Lt)))
                 + 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_cap))))
     # cap⁻¹ once (small, one-time) so every preconditioner apply inside the
     # CG loop is a matmul, not a sequential triangular substitution
     cap_inv = jax.scipy.linalg.cho_solve(
-        (L_cap, True), jnp.eye(q * m, dtype=Ks.dtype))
+        (L_cap, True), jnp.eye(q * m, dtype=R.dtype))
 
     def minv(V):                                          # V: (r, n, T)
         W = jnp.matmul(V, St_inv, precision=_HIGHEST)
@@ -388,8 +388,10 @@ def pcg_with_tridiag(matvec, B, minv, max_iters: int, tol: float):
         active = active.at[it].set(~done)
         rel = jnp.sqrt(jnp.clip(dot(Rn, Rn), 0.0)) / bnorm
         done = jnp.logical_or(done, rel < tol)
+        # freeze rz for converged RHS so stale residual products never feed
+        # a later (masked) beta computation
         rz = jnp.where(done, rz, rzn)
-        return X, Rn, Zn, Pn, rzn, alphas, betas, active, done, it + 1
+        return X, Rn, Zn, Pn, rz, alphas, betas, active, done, it + 1
 
     state = (X, Rr, Z, P, rz, alphas, betas, active, done,
              jnp.array(0, jnp.int32))
@@ -539,10 +541,13 @@ def nystrom_roots_from_kernels(Ks, rank: int = 256, jitter: float = 1e-4):
     q, n, _ = Ks.shape
     m = min(rank, n)
     idx = jnp.linspace(0, n - 1, m).astype(jnp.int32)
-    Kmm = Ks[:, idx[:, None], idx[None, :]]
-    Knm = Ks[:, :, idx]
-    Lmm = jnp.linalg.cholesky(Kmm + jitter * jnp.eye(m, dtype=Ks.dtype))
+    # bf16 kernel stacks upcast: the landmark Cholesky and the capacitance
+    # identity downstream are fp32-sensitive (bf16 Cholesky can fail outright)
+    dt = jnp.float32 if Ks.dtype == jnp.bfloat16 else Ks.dtype
+    Kmm = Ks[:, idx[:, None], idx[None, :]].astype(dt)
+    Knm = Ks[:, :, idx].astype(dt)
+    Lmm = jnp.linalg.cholesky(Kmm + jitter * jnp.eye(m, dtype=dt))
     Linv = jax.scipy.linalg.solve_triangular(
-        Lmm, jnp.broadcast_to(jnp.eye(m, dtype=Ks.dtype), Lmm.shape),
+        Lmm, jnp.broadcast_to(jnp.eye(m, dtype=dt), Lmm.shape),
         lower=True)
     return jnp.einsum("bnk,bmk->bnm", Knm, Linv, precision=_HIGHEST)

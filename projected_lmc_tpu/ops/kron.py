@@ -66,7 +66,8 @@ def icm_log_prob(K, B, Sigma_t, Ydelta, jitter: float = 1e-8):
     return -0.5 * (quad + logdet + n * t * math.log(2 * math.pi))
 
 
-def icm_log_prob_chol(K, B, Sigma_t, Ydelta, jitter: float = 1e-8):
+def icm_log_prob_chol(K, B, Sigma_t, Ydelta, jitter: float = 1e-8,
+                      chol_bf16: bool = False, chol_block: int = 1024):
     """log N(vec(Y); 0, K⊗B + I⊗Σt) via BATCHED CHOLESKY — the training-path
     variant of :func:`icm_log_prob`.
 
@@ -79,7 +80,13 @@ def icm_log_prob_chol(K, B, Sigma_t, Ydelta, jitter: float = 1e-8):
     is an order of magnitude slower and autodiff-fragile near degenerate
     eigenvalues — per-step MLL cost drops accordingly (the eig path remains
     the right tool for the posterior-variance machinery, where the
-    eigenbasis is reused across test chunks)."""
+    eigenbasis is reused across test chunks).
+
+    ``chol_bf16`` routes the batched factorization through the blocked
+    bf16-trailing-update Cholesky (ops/blocked_cholesky.py) — the MXU's
+    native-bf16 rate for the O(n³) bulk, fp32 panels/diagonal; the same
+    operator-noise class as the bf16 LMC kernel-stack matvec, for training
+    steps only."""
     n, t = Ydelta.shape
     Rt = safe_cholesky(Sigma_t)
     tmp = solve_triangular(Rt, B, lower=True)
@@ -92,7 +99,11 @@ def icm_log_prob_chol(K, B, Sigma_t, Ydelta, jitter: float = 1e-8):
     Z = _mm(W, V)                                          # (n, t)
     eye = jnp.eye(n, dtype=K.dtype)
     A = gam[:, None, None] * (K + jitter * eye)[None] + eye[None]
-    L = safe_cholesky(A)                                   # batched (t, n, n)
+    if chol_bf16:
+        from .blocked_cholesky import cholesky_bf16_blocked
+        L = cholesky_bf16_blocked(A, chol_block)           # batched (t, n, n)
+    else:
+        L = safe_cholesky(A)                               # batched (t, n, n)
     sol = solve_triangular(L, Z.T[..., None], lower=True)[..., 0]  # (t, n)
     quad = jnp.sum(sol * sol)
     logdet = (n * logdet_from_chol(Rt)

@@ -72,36 +72,40 @@ def xla_kernel_matrix(x1, x2, lengthscale, kind: str = "matern25"):
     return _profile(kind, d2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_kernel_matrix(x1, x2, lengthscale, kind: str = "matern25",
-                        interpret: bool = False):
+                        interpret: bool = False, out_dtype=None):
     """K[b, i, j] = g(||(x1_i − x2_j) / l_b||²), shapes:
     x1 (n, d), x2 (m, d), lengthscale (B, 1, d) -> (B, n, m).
+
+    ``out_dtype`` (e.g. bfloat16) makes each tile leave VMEM already
+    downcast — the bf16 kernel-stack path never writes an fp32 (B, n, m)
+    object to HBM (compute stays fp32 inside the tile).
 
     Differentiable: pallas_call has no autodiff rule, so the backward pass is
     the VJP of the mathematically identical XLA formulation (one fused
     recompute — XLA fuses the elementwise tail into the backward matmuls)."""
-    return _pallas_forward(x1, x2, lengthscale, kind, interpret)
+    return _pallas_forward(x1, x2, lengthscale, kind, interpret, out_dtype)
 
 
-def _fused_fwd(x1, x2, lengthscale, kind, interpret):
-    out = _pallas_forward(x1, x2, lengthscale, kind, interpret)
+def _fused_fwd(x1, x2, lengthscale, kind, interpret, out_dtype):
+    out = _pallas_forward(x1, x2, lengthscale, kind, interpret, out_dtype)
     return out, (x1, x2, lengthscale)
 
 
-def _fused_bwd(kind, interpret, res, g):
+def _fused_bwd(kind, interpret, out_dtype, res, g):
     x1, x2, lengthscale = res
     _, vjp = jax.vjp(lambda a, b, l: xla_kernel_matrix(a, b, l, kind),
                      x1, x2, lengthscale)
-    return vjp(g)
+    return vjp(g.astype(x1.dtype))
 
 
 fused_kernel_matrix.defvjp(_fused_fwd, _fused_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "interpret"))
+@functools.partial(jax.jit, static_argnames=("kind", "interpret", "out_dtype"))
 def _pallas_forward(x1, x2, lengthscale, kind: str = "matern25",
-                    interpret: bool = False):
+                    interpret: bool = False, out_dtype=None):
     n, d = x1.shape
     m = x2.shape[0]
     B = lengthscale.shape[0]
@@ -114,7 +118,7 @@ def _pallas_forward(x1, x2, lengthscale, kind: str = "matern25",
     grid = (B, np_ // TILE, mp_ // TILE)
     out = pl.pallas_call(
         functools.partial(_tile_kernel, kind),
-        out_shape=jax.ShapeDtypeStruct((B, np_, mp_), x1.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, np_, mp_), out_dtype or x1.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE, d), lambda b, i, j: (i, 0),

@@ -36,15 +36,23 @@ def initialize(coordinator_address: str = None, num_processes: int = None,
     CPU/GPU clusters. Returns True if distributed mode is active, False for
     the single-process fallback (already-initialized calls are idempotent).
     """
-    if jax.process_count() > 1:
-        return True
-    try:
+    # NOTE: do not touch jax.process_count()/jax.devices() before
+    # jax.distributed.initialize — any backend-initializing call first makes
+    # initialize() a hard error ("must be called before any JAX calls").
+    from jax._src import distributed as _dist_state
+    if getattr(_dist_state.global_state, "client", None) is not None:
+        return jax.process_count() > 1          # already initialized
+    if coordinator_address is not None:
+        # explicit multi-process setup: let configuration errors surface
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
         return jax.process_count() > 1
+    try:
+        jax.distributed.initialize()
+        return jax.process_count() > 1
     except (ValueError, RuntimeError):
-        # no coordinator configured -> single-process mode
+        # no coordinator configured in the environment -> single-process mode
         return False
 
 

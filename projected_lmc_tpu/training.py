@@ -70,13 +70,20 @@ def fit(model, loss_fn: Callable = None, n_iter: int = 10000, lr: float = 1e-2,
         schedule=None, loss_thresh: float = 2.5e-6, patience: int = 500,
         criterion: str = "max", weight_decay: float = 1e-2,
         print_loss: bool = False, freq_print: int = 1000,
-        block_every: int = 1, scan_steps: int = None, seed: int = 0):
+        block_every: int = 1, scan_steps: int = None, seed: int = 0,
+        checkpoint_every: int = 0, checkpoint_path: str = None):
     """Train ``model`` by maximizing ``loss_fn(model)`` (an MLL; the loop
     minimizes −MLL like the reference).
 
     Returns (trained_model, info) with info = dict(n_iter, train_time, losses,
     loss). AdamW with weight_decay=1e-2 matches torch.optim.AdamW defaults used
     throughout the reference.
+
+    ``checkpoint_every`` > 0 with a ``checkpoint_path`` saves the in-training
+    model every that-many iterations (and once at the end) via
+    utils.checkpoint.save_model — key-path-keyed .npz, reloadable with
+    ``load_model(template, path)`` (capability absent from the reference,
+    SURVEY §5).
 
     ``loss_fn`` may take either ``(model)`` or ``(model, key)``; the two-arg
     form receives a fresh PRNG key every iteration (stochastic MLLs — the
@@ -156,6 +163,14 @@ def fit(model, loss_fn: Callable = None, n_iter: int = 10000, lr: float = 1e-2,
     effective_n_iter = n_iter
     start = time.time()
 
+    def maybe_checkpoint(i, final=False):
+        if not checkpoint_path or not (final or (
+                checkpoint_every > 0 and i > 0 and i % checkpoint_every == 0)):
+            return
+        from .utils.checkpoint import save_model
+        save_model(combine(jax.tree_util.tree_unflatten(ptreedef, params),
+                           static), checkpoint_path)
+
     def check_plateau(i, new_loss):
         nonlocal plateau_id, last_loss
         if criterion == "max":
@@ -191,12 +206,14 @@ def fit(model, loss_fn: Callable = None, n_iter: int = 10000, lr: float = 1e-2,
                     stop = True
                     break
             i += scan_steps
+            maybe_checkpoint(i)
             if stop:
                 break
     else:
         key = key0
         for i in range(n_iter):
             params, opt_state, key, loss = step(params, opt_state, key, static)
+            maybe_checkpoint(i)
             if i % block_every == 0 or i == n_iter - 1:
                 new_loss = float(loss)
                 losses.append(new_loss)
@@ -206,6 +223,7 @@ def fit(model, loss_fn: Callable = None, n_iter: int = 10000, lr: float = 1e-2,
                     effective_n_iter = i
                     break
     train_time = time.time() - start
+    maybe_checkpoint(effective_n_iter, final=True)
 
     trained = combine(jax.tree_util.tree_unflatten(ptreedef, params), static)
     info = dict(n_iter=effective_n_iter, train_time=train_time,

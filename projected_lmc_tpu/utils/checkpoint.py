@@ -59,10 +59,15 @@ def load_model(template, path: str):
 
 
 def save_orbax(model, path: str):
-    """Orbax checkpoint (async/sharded-capable) when orbax is available."""
+    """Orbax checkpoint (async/sharded-capable) when orbax is available.
+
+    Zero-size leaves (e.g. parameterless modules' pytree placeholders) carry
+    no state and are rejected by orbax — they are skipped on save and kept
+    from the template on restore."""
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(path), dict(_keyed_leaves(model)))
+    state = {k: v for k, v in _keyed_leaves(model) if np.size(v) > 0}
+    ckptr.save(os.path.abspath(path), state)
     ckptr.wait_until_finished()
 
 
@@ -71,7 +76,9 @@ def load_orbax(template, path: str):
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
-    target = {jax.tree_util.keystr(kp): np.asarray(l) for kp, l in flat}
+    target = {jax.tree_util.keystr(kp): np.asarray(l) for kp, l in flat
+              if np.size(l) > 0}
     restored = ckptr.restore(os.path.abspath(path), target)
-    new = [jnp.asarray(restored[jax.tree_util.keystr(kp)]) for kp, _ in flat]
+    new = [jnp.asarray(restored[jax.tree_util.keystr(kp)])
+           if np.size(leaf) > 0 else leaf for kp, leaf in flat]
     return jax.tree_util.tree_unflatten(treedef, new)

@@ -26,6 +26,12 @@ def ensure_tpu(max_wait_s: float = 240) -> bool:
                           os.path.join(repo_root, ".jax_cache"))
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
     import jax
+    # the env var is only read at jax import; callers that imported jax
+    # before calling us still get the cache via the config route
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]))
     deadline = time.time() + max_wait_s
     while True:
         try:

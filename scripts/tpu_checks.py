@@ -101,6 +101,22 @@ def main():
     if not np.isfinite(loss):
         failures.append("sharded step")
 
+    # 5. jax.profiler trace of one on-chip step (utils.profiling wiring):
+    # artifacts land in /tmp/jax-trace for TensorBoard inspection
+    from projected_lmc_tpu.utils.profiling import profile_trace, Timer
+    import glob
+    import os
+    logdir = "/tmp/jax-trace"
+    with Timer() as tm, profile_trace(logdir):
+        float(jax.jit(projected_lmc_mll)(mdl))
+    traced = glob.glob(os.path.join(logdir, "**", "*.pb"), recursive=True) \
+        + glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
+    ok = len(traced) > 0
+    print(f"5. profiler trace ({tm.elapsed * 1e3:.1f} ms step, "
+          f"{len(traced)} artifacts):", "OK" if ok else "FAIL")
+    if not ok:
+        failures.append("profiler trace produced no artifacts")
+
     if failures:
         print("FAILURES:", failures)
         return 1

@@ -191,6 +191,56 @@ class TestLogProb:
         assert abs(v1 - v_dense) / abs(v_dense) < 5e-2, (v1, v_dense)
         assert abs(v1 - v2) / max(abs(v1), 1e-9) < 5e-2
 
+    def test_bench_config_accuracy_vs_dense(self):
+        """Pins the EXACT bench hyperparameters (bench.py: max_cg_iters=16,
+        cg_tol=2e-2, matvec_bf16=True, precond_rank=256, num_probes=8) at a
+        dense-verifiable size: MLL relative error and per-parameter gradient
+        cosine vs the dense Woodbury path. Thresholds from a 3-seed
+        calibration at n=768 (worst observed: rel_err 8.6e-5, H-cosine 0.91).
+        """
+        from projected_lmc_tpu.models.multitask import MultitaskGPModel
+        from projected_lmc_tpu.module import trainable_mask, partition, combine
+
+        rng = np.random.default_rng(0)
+        n, T, q = 768, 7, 4
+        X = rng.uniform(-1, 1, (n, 4)).astype(np.float32)
+        Y = rng.standard_normal((n, T)).astype(np.float32)
+        m = MultitaskGPModel(X, Y, n_tasks=T, n_latents=q, model_type="LMC",
+                             kernel_type="matern", mean_type="zero",
+                             fix_diagonal=True)
+        mask = trainable_mask(m)
+        params, static = partition(m, mask)
+
+        def mll_bench(p, key):
+            return combine(p, static).mll(
+                key=key, iterative=True, max_cg_iters=16, cg_tol=2e-2,
+                matvec_bf16=True, precond_rank=256, num_probes=8)
+
+        def mll_dense(p):
+            return combine(p, static).mll(iterative=False)
+
+        v_d, g_d = jax.value_and_grad(mll_dense)(params)
+        v_b, g_b = jax.value_and_grad(mll_bench)(params, jax.random.PRNGKey(0))
+        rel = abs(float(v_b) - float(v_d)) / abs(float(v_d))
+        assert rel < 5e-4, f"bench-config MLL rel err {rel}"
+
+        cos_floor = {".covar_factor": 0.85,
+                     ".covar_module.raw_lengthscale": 0.95,
+                     ".likelihood.raw_noise": 0.99,
+                     ".likelihood.raw_task_noises": 0.98}
+        paths = [jax.tree_util.keystr(kp) for kp, _ in
+                 jax.tree_util.tree_leaves_with_path(g_d)]
+        for pth, a, b in zip(paths, jax.tree_util.tree_leaves(g_b),
+                             jax.tree_util.tree_leaves(g_d)):
+            a = np.asarray(a, np.float64).ravel()
+            b = np.asarray(b, np.float64).ravel()
+            nb = np.linalg.norm(b)
+            if nb < 1e-12:
+                continue
+            cos = float(a @ b / (np.linalg.norm(a) * nb + 1e-30))
+            floor = cos_floor.get(pth, 0.8)
+            assert cos > floor, f"{pth}: gradient cosine {cos} < {floor}"
+
     def test_jit_and_fresh_probes(self):
         """jit-compiles; different probe draws move the value only slightly."""
         Ks, H, St, Y = make_problem(n=25, t=3, q=2, dtype=jnp.float64)

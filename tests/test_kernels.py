@@ -171,6 +171,35 @@ class TestStationaryCustomVJP:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-8, atol=1e-9, err_msg=name)
 
+    def test_scalar_lengthscale_grads_match_autodiff(self):
+        """Non-ARD (B,1,1) lengthscale with d>1 inputs: the custom VJP must
+        sum the per-dimension lengthscale cotangents (ADVICE round-1 fix)."""
+        from projected_lmc_tpu.kernels import (stationary_kernel_matrix,
+                                               _profile, _sqdist)
+        rng = np.random.default_rng(3)
+        x1 = jnp.asarray(rng.uniform(-1, 1, (11, 4)))
+        x2 = jnp.asarray(rng.uniform(-1, 1, (9, 4)))
+        ls = jnp.asarray(rng.uniform(0.5, 2.0, (3, 1, 1)))   # scalar per batch
+        R = jnp.asarray(rng.standard_normal((3, 11, 9)))
+        mu = jnp.mean(x1, axis=0)
+
+        def naive(a, b, l):
+            return _profile(_sqdist((a - mu)[None] / l, (b - mu)[None] / l),
+                            "matern25")
+
+        K = stationary_kernel_matrix(x1, x2, ls, "matern25")
+        np.testing.assert_allclose(np.asarray(K), np.asarray(naive(x1, x2, ls)),
+                                   rtol=1e-12, atol=1e-12)
+        f_custom = lambda a, b, l: jnp.sum(
+            R * stationary_kernel_matrix(a, b, l, "matern25"))
+        f_naive = lambda a, b, l: jnp.sum(R * naive(a, b, l))
+        g_c = jax.grad(f_custom, argnums=(0, 1, 2))(x1, x2, ls)
+        g_n = jax.grad(f_naive, argnums=(0, 1, 2))(x1, x2, ls)
+        for a, b, name in zip(g_c, g_n, ("dx1", "dx2", "dls")):
+            assert a.shape == b.shape, name
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-8, atol=1e-9, err_msg=name)
+
     def test_slabbed_backward_matches_monolithic(self):
         """_skm_bwd_slabbed (the >2GB memory-pressure path, including a slab
         size that does NOT divide n) == the monolithic reductions."""

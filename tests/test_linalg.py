@@ -249,5 +249,73 @@ class TestWoodburyLMC:
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-9)
 
 
+class TestBlockedCholesky:
+    """ops/blocked_cholesky.py: fp32 blocking is exact; bf16 trailing updates
+    stay within the documented operator-noise class."""
+
+    def _spd(self, n, seed=0, batch=None, dtype=np.float32):
+        rng = np.random.default_rng(seed)
+        shape = (n, 256) if batch is None else (batch, n, 256)
+        A = rng.standard_normal(shape).astype(dtype)
+        K = A @ np.swapaxes(A, -1, -2) / 256
+        eye = np.eye(n, dtype=dtype)
+        return jnp.asarray(K + 1e-2 * eye)
+
+    def test_f32_blocked_matches_stock(self):
+        from projected_lmc_tpu.ops.blocked_cholesky import cholesky_blocked_f32
+        K = self._spd(300)
+        L = cholesky_blocked_f32(K, block=128)
+        L_ref = jnp.linalg.cholesky(K)
+        np.testing.assert_allclose(np.asarray(L), np.asarray(L_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_bf16_blocked_reconstructs(self):
+        from projected_lmc_tpu.ops.blocked_cholesky import cholesky_bf16_blocked
+        K = self._spd(300)
+        L = jax.jit(lambda a: cholesky_bf16_blocked(a, block=128))(K)
+        L = np.tril(np.asarray(L, np.float64))
+        recon = L @ L.T
+        Kn = np.asarray(K, np.float64)
+        rel = np.abs(recon - Kn).max() / np.abs(Kn).max()
+        assert np.isfinite(L).all()
+        assert rel < 2e-2, rel        # bf16 trailing-update noise class
+
+    def test_bf16_blocked_batched_and_ragged(self):
+        from projected_lmc_tpu.ops.blocked_cholesky import cholesky_bf16_blocked
+        K = self._spd(200, batch=3)    # 200 does not divide block=128
+        L = cholesky_bf16_blocked(K, block=128)
+        assert L.shape == K.shape
+        for b in range(3):
+            Lb = np.tril(np.asarray(L[b], np.float64))
+            Kn = np.asarray(K[b], np.float64)
+            rel = np.abs(Lb @ Lb.T - Kn).max() / np.abs(Kn).max()
+            assert rel < 2e-2, (b, rel)
+
+    def test_small_n_falls_back(self):
+        from projected_lmc_tpu.ops.blocked_cholesky import cholesky_bf16_blocked
+        K = self._spd(64)
+        np.testing.assert_allclose(np.asarray(cholesky_bf16_blocked(K)),
+                                   np.asarray(jnp.linalg.cholesky(K)),
+                                   atol=0.0)
+
+    def test_icm_mll_chol_bf16_close(self):
+        """ICM training MLL with the bf16 blocked factorization stays within
+        training-tolerance distance of the fp32 value."""
+        from projected_lmc_tpu.ops import kron as kron_ops
+        rng = np.random.default_rng(1)
+        n, t = 160, 3
+        X = rng.uniform(-1, 1, (n, 2))
+        K = jnp.asarray(np.exp(-((X[:, None] - X[None]) ** 2).sum(-1)),
+                        jnp.float32)
+        F = rng.standard_normal((t, 2)).astype(np.float32)
+        B = jnp.asarray(F @ F.T + 0.1 * np.eye(t), jnp.float32)
+        St = jnp.asarray(0.3 * np.eye(t), jnp.float32)
+        Y = jnp.asarray(rng.standard_normal((n, t)), jnp.float32)
+        v32 = float(kron_ops.icm_log_prob_chol(K, B, St, Y))
+        v16 = float(kron_ops.icm_log_prob_chol(K, B, St, Y, chol_bf16=True,
+                                               chol_block=64))
+        assert abs(v16 - v32) / abs(v32) < 1e-2, (v16, v32)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

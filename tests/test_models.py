@@ -152,6 +152,70 @@ class TestMultitask:
         expected = float(dist.to_dense().log_prob(jnp.asarray(Y).reshape(-1)))
         np.testing.assert_allclose(got, expected, rtol=1e-6)
 
+    def test_icm_rank_noise_gradients_match_dense(self):
+        """rank-q task_noise_covar_factor TRAINING path: gradients of the
+        Kronecker MLL w.r.t. the noise factor (and the global noise) match
+        autodiff through the brute-force dense log-prob."""
+        X, Y, _, _ = make_data(n=18, p=3, q=2)
+        lik = pl.MultitaskGaussianLikelihood(num_tasks=3, rank=2)
+        m = pl.MultitaskGPModel(X, Y, lik, n_tasks=3, n_latents=2,
+                                model_type="ICM")
+        yvec = jnp.asarray(Y).reshape(-1)
+        K = m.covar_module(X)[0]
+        B = m.task_covar_matrix()
+        mean = m.mean_module(X).T.reshape(-1)
+
+        def dense_ll(F, raw_noise):
+            lk = lik.replace(task_noise_covar_factor=F, raw_noise=raw_noise)
+            St = lk.task_covariance()
+            n = K.shape[0]
+            cov = jnp.kron(K, B) + jnp.kron(jnp.eye(n, dtype=K.dtype), St)
+            L = jnp.linalg.cholesky(cov)
+            z = jax.scipy.linalg.solve_triangular(L, yvec - mean, lower=True)
+            return (-0.5 * (jnp.sum(z * z)
+                            + 2 * jnp.sum(jnp.log(jnp.diagonal(L)))
+                            + yvec.size * np.log(2 * np.pi))
+                    + m.covar_module.prior_log_prob()) / yvec.size
+
+        def model_ll(F, raw_noise):
+            lk = lik.replace(task_noise_covar_factor=F, raw_noise=raw_noise)
+            return m.replace(likelihood=lk).mll()
+
+        args = (lik.task_noise_covar_factor, lik.raw_noise)
+        gd = jax.grad(dense_ll, argnums=(0, 1))(*args)
+        gm = jax.grad(model_ll, argnums=(0, 1))(*args)
+        for a, b, name in zip(gm, gd, ("dF", "dnoise")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-10, err_msg=name)
+
+    def test_icm_rank_noise_trains(self):
+        """fit() updates the rank-q noise factor and improves the loss —
+        the configuration the reference's default synthetic sweep trains
+        (experiments.py:181-185, lik_rank=q_noise_guess)."""
+        X, Y, _, _ = make_data(n=40, p=4, q=2, noise=0.2)
+        lik = pl.MultitaskGaussianLikelihood(num_tasks=4, rank=4)
+        m = pl.MultitaskGPModel(X, Y, lik, n_tasks=4, n_latents=2,
+                                model_type="ICM")
+        trained, info = fit(m, n_iter=30, lr=5e-2, scan_steps=1)
+        assert info["losses"][-1] < info["losses"][0]
+        dF = np.abs(np.asarray(trained.likelihood.task_noise_covar_factor)
+                    - np.asarray(m.likelihood.task_noise_covar_factor)).max()
+        assert dF > 1e-4, "noise factor did not receive updates"
+
+    def test_kernel_cond(self):
+        """MultitaskGPModel.kernel_cond (projected_lmc.py:367-369 inherited)
+        == numpy cond of the explicitly assembled dense covariance."""
+        X, Y, _, _ = make_data(n=12, p=3, q=2)
+        lik = pl.MultitaskGaussianLikelihood(num_tasks=3, rank=0)
+        m = pl.MultitaskGPModel(X, Y, lik, n_tasks=3, n_latents=2,
+                                model_type="ICM")
+        got = float(m.kernel_cond())
+        K = np.asarray(m.covar_module(X)[0])
+        B = np.asarray(m.task_covar_matrix())
+        St = np.asarray(lik.task_covariance())
+        dense = np.kron(K, B) + np.kron(np.eye(12), St)
+        np.testing.assert_allclose(got, np.linalg.cond(dense), rtol=1e-6)
+
     def test_icm_training_config3(self):
         """Driver config 3: exact ICM/LMC with Matern kernel."""
         X, Y, F, _ = make_data(n=60, p=5, q=2)
@@ -366,6 +430,67 @@ class TestVariational:
                                            train_ind_ratio=1.0, mean_type="zero")
         assert not m.whitened
         np.testing.assert_allclose(float(m.kl_divergence()), 0.0, atol=1e-6)
+
+    def test_distrib_mean_field(self):
+        """``distrib`` argument (projected_lmc.py:737): mean-field q(u) at
+        its S=I init agrees with the Cholesky S=I init exactly, and trains."""
+        X, Y, F, _ = make_data(n=60, p=4, q=2)
+        common = dict(n_latents=2, n_tasks=4, train_y=Y, init_lmc_coeffs=True,
+                      train_ind_ratio=2.0, kernel_type="matern",
+                      mean_type="zero")
+        mc = pl.VariationalMultitaskGPModel(X, distrib="cholesky", **common)
+        mf = pl.VariationalMultitaskGPModel(X, distrib="mean_field", **common)
+        np.testing.assert_allclose(float(mf.elbo()), float(mc.elbo()),
+                                   rtol=1e-10)
+        np.testing.assert_allclose(float(mf.kl_divergence()),
+                                   float(mc.kl_divergence()), atol=1e-10)
+        m2, info = fit(mf, lambda mm: mm.elbo(), n_iter=200, lr=0.05,
+                       patience=60)
+        assert info["losses"][-1] < info["losses"][0]
+        # the diagonal variance parameters actually moved
+        assert np.abs(np.asarray(m2.var_chol_diag) - 1.0).max() > 1e-4
+
+    def test_distrib_delta(self):
+        """Delta (MAP) variational distribution: zero-covariance posterior,
+        KL reduces to the whitened prior negative log-density of the mean."""
+        X, Y, F, _ = make_data(n=60, p=4, q=2)
+        m = pl.VariationalMultitaskGPModel(
+            X, n_latents=2, n_tasks=4, train_y=Y, init_lmc_coeffs=True,
+            train_ind_ratio=2.0, kernel_type="matern", mean_type="zero",
+            distrib="delta")
+        assert m._S_chol() is None
+        n_ind = m.inducing_points.shape[0]
+        expect_kl = 0.5 * n_ind * np.log(2 * np.pi) * m.n_latents
+        np.testing.assert_allclose(float(m.kl_divergence()), expect_kl,
+                                   rtol=1e-10)
+        m2, info = fit(m, lambda mm: mm.elbo(), n_iter=300, lr=0.05,
+                       patience=60)
+        pred = m2(X, observed=True)
+        rmse = np.sqrt(np.mean((np.asarray(pred.mean) - F) ** 2))
+        assert rmse < 0.2, rmse
+
+    def test_distrib_forced_cholesky_unwhitened(self):
+        X, Y, _, _ = make_data(n=20, p=3, q=2)
+        m = pl.VariationalMultitaskGPModel(X, n_latents=2, n_tasks=3,
+                                           train_y=Y, train_ind_ratio=1.0,
+                                           mean_type="zero",
+                                           distrib="mean_field")
+        assert m.distrib == "cholesky"   # reference forces it (:724-729)
+
+    def test_sobol_inducing_points(self):
+        """README-documented Sobol' alternative for the inducing design."""
+        X, Y, _, _ = make_data(n=64, p=3, q=2)
+        m = pl.VariationalMultitaskGPModel(X, n_latents=2, n_tasks=3,
+                                           train_y=Y, train_ind_ratio=2.0,
+                                           mean_type="zero",
+                                           ind_point_method="sobol")
+        pts = np.asarray(m.inducing_points)
+        assert pts.shape == (32, 1)
+        assert pts.min() >= -1.0 and pts.max() <= 1.0
+        lhc = pl.VariationalMultitaskGPModel(X, n_latents=2, n_tasks=3,
+                                             train_y=Y, train_ind_ratio=2.0,
+                                             mean_type="zero")
+        assert np.abs(pts - np.asarray(lhc.inducing_points)).max() > 1e-6
 
 
 class TestProjected:

@@ -89,6 +89,69 @@ class TestSharding:
         spec.loader.exec_module(mod)
         mod.dryrun_multichip(8)
 
+    def test_lmc_iterative_mll_matches_unsharded(self, mesh):
+        """The bench hot path (matrix-free Nyström-PCG exact-LMC MLL,
+        ops/iterative.py:lmc_pcg_log_prob) sharded over the 8-device mesh at
+        n=2048 equals the single-device value: same key → same probes, so the
+        only differences are cross-device reduction orders."""
+        rng = np.random.default_rng(5)
+        n, T, q = 2048, 6, 2
+        X = rng.uniform(-1, 1, (n, 3))
+        Y = rng.standard_normal((n, T))
+        m = pl.MultitaskGPModel(X, Y, n_tasks=T, n_latents=q,
+                                model_type="LMC", kernel_type="matern",
+                                mean_type="zero", fix_diagonal=True)
+        key = jax.random.PRNGKey(0)
+        mll = lambda mm: mm.mll(key=key, iterative=True, precond_rank=64,
+                                num_probes=4, max_cg_iters=32, cg_tol=1e-8)
+        unsharded = float(jax.jit(mll)(m))
+        ms = shard_model(m, mesh)
+        sharded = float(jax.jit(mll)(ms))
+        assert np.isfinite(sharded)
+        np.testing.assert_allclose(sharded, unsharded, rtol=1e-6)
+
+    def test_lmc_iterative_grads_match_unsharded(self, mesh):
+        """Gradient pass (custom VJP with Hutchinson terms) under sharding."""
+        from projected_lmc_tpu.module import trainable_mask, partition, combine
+        rng = np.random.default_rng(6)
+        n, T, q = 512, 4, 2
+        X = rng.uniform(-1, 1, (n, 2))
+        Y = rng.standard_normal((n, T))
+        m = pl.MultitaskGPModel(X, Y, n_tasks=T, n_latents=q,
+                                model_type="LMC", kernel_type="matern",
+                                mean_type="zero", fix_diagonal=True)
+        key = jax.random.PRNGKey(1)
+
+        def loss(p, static):
+            return -combine(p, static).mll(
+                key=key, iterative=True, precond_rank=32, num_probes=4,
+                max_cg_iters=32, cg_tol=1e-8)
+
+        mask = trainable_mask(m)
+        p0, s0 = partition(m, mask)
+        g_ref = jax.jit(jax.grad(loss))(p0, s0)
+        ms = shard_model(m, mesh)
+        p1, s1 = partition(ms, mask)
+        g_sh = jax.jit(jax.grad(loss))(p1, s1)
+        for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                        jax.tree_util.tree_leaves(g_sh)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-5, atol=1e-10)
+
+    def test_icm_mll_matches_unsharded(self, mesh):
+        """ICM joint-diagonalization MLL (ops/kron.py icm_log_prob_chol)
+        sharded == unsharded."""
+        rng = np.random.default_rng(7)
+        n, T, q = 256, 5, 3
+        X = rng.uniform(-1, 1, (n, 2))
+        Y = rng.standard_normal((n, T))
+        m = pl.MultitaskGPModel(X, Y, n_tasks=T, n_latents=q,
+                                model_type="ICM", kernel_type="matern")
+        unsharded = float(jax.jit(lambda mm: mm.mll())(m))
+        ms = shard_model(m, mesh)
+        sharded = float(jax.jit(lambda mm: mm.mll())(ms))
+        np.testing.assert_allclose(sharded, unsharded, rtol=1e-8)
+
     def test_variational_sharding(self, mesh):
         X, Y = make_data(n=48)
         m = pl.VariationalMultitaskGPModel(X, n_latents=2, n_tasks=Y.shape[1],
