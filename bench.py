@@ -174,6 +174,16 @@ def bench_exact_lmc(n=10000, T=7, q=4, seed=0, steps=8, reps=2):
 
     @jax.jit
     def multi_step(carry):
+        # Nyström preconditioner roots refreshed ONCE per chunk: the fused
+        # estimator is exact for any SPD M (its logdet/capacitance use the
+        # same roots), so a slightly stale preconditioner costs at most CG
+        # iterations while skipping the per-step landmark factorization
+        # (~13% of the step on a v5e).
+        p0, _, _ = carry
+        roots = jax.lax.stop_gradient(
+            combine(p0, static)._precond_roots(
+                combine(p0, static).train_x, 256))
+
         def body(c, _):
             p, o, k = c
             k, sub = jax.random.split(k)
@@ -186,7 +196,8 @@ def bench_exact_lmc(n=10000, T=7, q=4, seed=0, steps=8, reps=2):
                 # the round-1 CG+SLQ configuration at n=10k.
                 return -combine(pp, static).mll(key=sub, max_cg_iters=16,
                                                 cg_tol=2e-2, matvec_bf16=True,
-                                                precond_rank=256, num_probes=8)
+                                                precond_rank=256, num_probes=8,
+                                                precond_roots=roots)
             loss, grads = jax.value_and_grad(neg_loss)(p)
             updates, o = tx.update(grads, o, p)
             p = optax.apply_updates(p, updates)

@@ -29,11 +29,34 @@ from ..distributions import (MultitaskMultivariateNormal, KronCov, SumKronRank1C
 from ..ops import kron as kron_ops
 from ..ops import woodbury as wb_ops
 from ..ops import iterative as it_ops
+from ..ops import fused_mll
 from ..ops.init_ops import init_lmc_coefficients
 from ..ops.cholesky import safe_cholesky, logdet_from_chol, solve_triangular
 from .exact import _resolve, _canon_targets
 
 _HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _fused_stationary_spec(cov, dim):
+    """(kind, lengthscale (q,1,d), outputscale (q,)) when ``cov`` is a bare
+    or Scale-wrapped stationary kernel the fused MLL op
+    (ops/fused_mll.lmc_pcg_log_prob_stationary) can build internally;
+    None routes to the composed kernel→log-prob path (additive decomp,
+    proper-subset active_dims, spectral-mixture, or use_pallas=False
+    opt-outs). ``dim``: the input feature count — active_dims covering the
+    full range is the identity slice handle_covar emits by default."""
+    from .. import kernels as kmod
+    base, os_ = cov, None
+    if isinstance(cov, kmod.ScaleKernel):
+        base, os_ = cov.base_kernel, cov.outputscale
+    kind = getattr(base, "_pallas_kind", None)
+    full_slice = (base.active_dims is None
+                  or tuple(base.active_dims) == tuple(range(int(dim))))
+    if kind is None or not full_slice or not getattr(base, "use_pallas", False):
+        return None
+    if os_ is None:
+        os_ = jnp.ones((base.batch,), base.lengthscale.dtype)
+    return kind, base.lengthscale, os_
 
 
 class MultitaskGPModel(Module):
@@ -230,7 +253,7 @@ class MultitaskGPModel(Module):
             num_probes: int = 10, max_cg_iters: int = 256,
             cg_tol: float = 1e-2, slq_steps: int = 20,
             matvec_bf16: bool = False, precond_rank: int = 0,
-            quad_method: str = "pcg"):
+            quad_method: str = "pcg", precond_roots=None):
         """Exact multitask MLL / (n·T), plus hyper-prior terms.
 
         For LMC at large scale (q·n > DENSE_QN_MAX, or ``iterative=True``) the
@@ -242,6 +265,14 @@ class MultitaskGPModel(Module):
         from the CG coefficients, logdet M exact — gpytorch's inv_quad_logdet
         estimator compiled to one XLA program); ``quad_method="slq"`` keeps
         the separate Rademacher-probe SLQ pass.
+
+        ``precond_roots`` (q, n, rank): caller-supplied (possibly STALE)
+        Nyström roots for the preconditioner M. The estimator is exact for
+        ANY SPD M — its logdet/capacitance terms are computed from the same
+        roots — so a preconditioner refreshed only every few optimizer steps
+        (e.g. once per lax.scan chunk) trades nothing but CG iteration count
+        for skipping the per-step landmark factorization (~13% of the
+        training step at the benchmark scale on a v5e).
         """
         x = self.train_x if x is None else x
         y = self.train_y if y is None else _canon_targets(jnp.asarray(y), self.n_tasks)
@@ -275,7 +306,23 @@ class MultitaskGPModel(Module):
                     xi = jax.random.normal(
                         k2, (num_probes, self.n_latents,
                              min(precond_rank, n)), Ydelta.dtype)
-                    roots = self._precond_roots(x, precond_rank)
+                    roots = precond_roots if precond_roots is not None \
+                        else self._precond_roots(x, precond_rank)
+                    spec = _fused_stationary_spec(self.covar_module, self.dim)
+                    if spec is not None:
+                        # fully fused hot path: stack build + PCG + quadrature
+                        # in ONE custom-VJP op whose backward recomputes dK
+                        # tiles from low-rank factors in VMEM — the (q, n, n)
+                        # cotangent and the elementwise VJP intermediate never
+                        # reach HBM (ops/fused_mll.py)
+                        kind, ls, os_ = spec
+                        ll = fused_mll.lmc_pcg_log_prob_stationary(
+                            jax.lax.stop_gradient(x), ls, os_, H, St, Ydelta,
+                            eps, xi, roots, kind, max_cg_iters, cg_tol,
+                            matvec_bf16, precond_rank)
+                        num_data = n * self.n_tasks
+                        return (ll + self.covar_module.prior_log_prob()) \
+                            / num_data
                     # bf16 stack END-TO-END, downcast at the producer: the
                     # Pallas tile builder writes bf16 tiles straight from
                     # VMEM (the XLA fallback fuses the cast into the

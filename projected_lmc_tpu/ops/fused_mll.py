@@ -1,0 +1,173 @@
+"""Fused stationary-kernel exact-LMC MLL: the whole training-step hot path
+— kernel-stack build → Nyström-preconditioned CG → Lanczos quadrature —
+as ONE custom-VJP op whose backward never materializes the (q, n, n)
+kernel cotangent.
+
+Motivation (SURVEY §7 "fusing kernel construction into the factorization"):
+the composed path (kernels.stationary_kernel_matrix → iterative.
+lmc_pcg_log_prob) is mathematically identical but its backward writes the
+dense cotangent dK (q, n, n) to HBM, then the kernel VJP reads it back and
+materializes the elementwise product W = dK ⊙ dprofile(d²) — at the
+benchmark scale (n=10⁴, q=4) roughly 2 GB written + 4 GB read of pure
+intermediate traffic per step. Here the backward instead exploits that
+dK is LOW-RANK by construction:
+
+    dK_b = g·[½ (αh_b)(αh_b)ᵀ − (1/4s) Σ_i ((W_i h_b)(Z̃_i h_b)ᵀ + sym)]
+         = A_b B_bᵀ,     rank ≤ 1 + 2s  (s = Hutchinson probes, 8 → 17)
+
+so every tile of dK is a (tile × r)·(r × tile) MXU product recomputed in
+VMEM, and the only HBM traffic is the factor matrices (q·n·r floats).
+The lengthscale/outputscale gradients reduce through one Pallas pass
+(pallas_kernels.lowrank_stationary_reduce); dH/dΣt reuse the single
+batched stack stream the composed path already performs; the outputscale
+gradient falls out of that same stream for free.
+
+Scope: symmetric training evaluations (x1 ≡ x2) of a bare or Scale-wrapped
+stationary kernel (RBF / Matérn) with no active_dims — exactly the exact-LMC
+training MLL (reference hot loop, projected_lmc.py:586-589 →
+gpytorch inv_quad_logdet). The input-location cotangent is NOT computed
+(training data is constant); callers pass x through stop_gradient and the
+op returns zeros for it.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import iterative as it
+from . import pallas_kernels as pk
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _use_pallas(x):
+    return jax.default_backend() == "tpu" and x.dtype == jnp.float32
+
+
+def _scaled_stack(xc, ls, os_, kind, out_dtype):
+    """os_b · K_b(xc, xc), downcast at the producer."""
+    if _use_pallas(xc):
+        return pk.scaled_kernel_stack(xc, xc, ls, os_, kind, False, out_dtype)
+    K = pk.xla_kernel_matrix(xc, xc, ls, kind) * os_[:, None, None]
+    return K.astype(out_dtype) if out_dtype is not None else K
+
+
+def _lowrank_reduce(xc, ls, A, Bf, kind):
+    """(rows, wx) of W = (A Bᵀ) ⊙ dprofile(d²): Pallas on TPU, dense XLA
+    reference elsewhere (small problems / CPU tests)."""
+    if _use_pallas(xc):
+        return pk.lowrank_stationary_reduce(xc, ls, A, Bf, kind)
+    a = xc[None] / ls
+    n1 = jnp.sum(a * a, axis=-1)
+    cross = jnp.matmul(a, jnp.swapaxes(a, -1, -2), precision=_HIGHEST)
+    d2 = jnp.maximum(n1[..., :, None] + n1[..., None, :] - 2.0 * cross, 0.0)
+    W = jnp.einsum("bik,bjk->bij", A, Bf, precision=_HIGHEST) \
+        * pk._dprofile(kind, d2)
+    rows = jnp.sum(W, axis=-1)
+    wx = jnp.einsum("bij,jd->bid", W, xc, precision=_HIGHEST)
+    return rows, wx
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+def lmc_pcg_log_prob_stationary(x, ls, os_, H, St, Ydelta, eps, xi, roots,
+                                kind, max_cg_iters=32, cg_tol=1e-2,
+                                matvec_bf16=False, precond_rank=256):
+    """log N(vec(Y); 0, Σ_b os_b K_b(x; ls_b) ⊗ h_b h_bᵀ + I ⊗ Σt) with the
+    stack built inside the op (iterative.lmc_pcg_log_prob semantics,
+    stationary-kernel-specialized backward; see module docstring).
+
+    x (n, d) — pass through stop_gradient: its cotangent is returned as
+    zeros. ls (q, 1, d) lengthscales, os_ (q,) outputscales (ones for a bare
+    kernel — the cotangent of a literal is discarded by the caller's jvp).
+    Remaining args exactly as :func:`iterative.lmc_pcg_log_prob`.
+    """
+    ll, _ = _fused_fwd(x, ls, os_, H, St, Ydelta, eps, xi, roots, kind,
+                       max_cg_iters, cg_tol, matvec_bf16, precond_rank)
+    return ll
+
+
+def _fused_fwd(x, ls, os_, H, St, Ydelta, eps, xi, roots, kind,
+               max_cg_iters, cg_tol, matvec_bf16, precond_rank):
+    # translation-invariant centering, as kernels._skm_fwd (exact)
+    mu = jax.lax.stop_gradient(jnp.mean(x, axis=0))
+    xc = x - mu
+    out_dtype = jnp.bfloat16 if matvec_bf16 else None
+    Ks = _scaled_stack(xc, ls, os_, kind, out_dtype)
+    ll, res = it._pcg_fwd_impl(Ks, H, St, Ydelta, eps, xi, roots,
+                               max_cg_iters, cg_tol, matvec_bf16,
+                               precond_rank)
+    _, _, _, alpha, W, Ztilde, _, _, _ = res
+    return ll, (xc, ls, os_, Ks, H, St, alpha, W, Ztilde,
+                eps, xi, roots)
+
+
+def _fused_bwd(kind, max_cg_iters, cg_tol, matvec_bf16, precond_rank,
+               res, g):
+    xc, ls, os_, Ks, H, St, alpha, W, Zt, eps, xi, roots = res
+    s = max(W.shape[0], 1)
+
+    Ah = jnp.einsum("nt,tb->nb", alpha, H, precision=_HIGHEST)    # (n, q)
+    WH = jnp.einsum("snt,tb->snb", W, H, precision=_HIGHEST)      # (s, n, q)
+    ZH = jnp.einsum("snt,tb->snb", Zt, H, precision=_HIGHEST)
+
+    # ONE batched stack stream serves dH, dΣt-free terms AND dos
+    R3 = jnp.concatenate([Ah[None], WH, ZH], axis=0)              # (1+2s,n,q)
+    if Ks.dtype == jnp.bfloat16:
+        KR = jnp.einsum("bij,rjb->rib", Ks, R3.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    else:
+        KR = jnp.einsum("bij,rjb->rib", Ks, R3, precision=_HIGHEST)
+    KAh, KWH, KZH = KR[0], KR[1:1 + s], KR[1 + s:]
+
+    dH_a = jnp.einsum("nt,nb->tb", alpha, KAh, precision=_HIGHEST)
+    dH_s = 0.5 * (jnp.einsum("snt,snb->tb", Zt, KWH, precision=_HIGHEST)
+                  + jnp.einsum("snt,snb->tb", W, KZH, precision=_HIGHEST))
+    dH = g * (dH_a - dH_s / s)
+
+    dSt_a = jnp.einsum("nt,nu->tu", alpha, alpha, precision=_HIGHEST)
+    dSt_wz = jnp.einsum("snt,snu->tu", W, Zt, precision=_HIGHEST)
+    dSt = g * 0.5 * (dSt_a - (dSt_wz + dSt_wz.T) / (2 * s))
+
+    dY = -g * alpha
+
+    # outputscale cotangent, free from KR:  dos_b = Σ_ij dK ⊙ K_base
+    #   = (1/os_b)·[g/2 <Ah, K Ah> − g/(4s) Σ_i (<ZH, K WH> + <WH, K ZH>)]_b
+    dos_quad = jnp.einsum("nb,nb->b", Ah, KAh, precision=_HIGHEST)
+    dos_tr = (jnp.einsum("snb,snb->b", ZH, KWH, precision=_HIGHEST)
+              + jnp.einsum("snb,snb->b", WH, KZH, precision=_HIGHEST))
+    dos = (g * (0.5 * dos_quad - dos_tr / (4 * s))
+           / os_.astype(dos_quad.dtype)).astype(os_.dtype)
+
+    # lengthscale cotangent through the low-rank tile reduction. The factor
+    # pair (A, Bf) satisfies dK_base = (A Bfᵀ) with os and all scalar
+    # coefficients folded into Bf; dK_base is symmetric, so rows == cols and
+    # wx serves both cross-term reductions of kernels._skm_bwd.
+    Afac = jnp.concatenate([Ah.T[:, :, None],
+                            jnp.transpose(WH, (2, 1, 0)),
+                            jnp.transpose(ZH, (2, 1, 0))], axis=-1)
+    Bfac = jnp.concatenate([(0.5 * g) * Ah.T[:, :, None],
+                            (-g / (4 * s)) * jnp.transpose(ZH, (2, 1, 0)),
+                            (-g / (4 * s)) * jnp.transpose(WH, (2, 1, 0))],
+                           axis=-1) * os_[:, None, None]
+    fdt = jnp.float64 if xc.dtype == jnp.float64 else jnp.float32
+    rows, wx = _lowrank_reduce(xc, ls, Afac.astype(fdt), Bfac.astype(fdt),
+                               kind)
+    lsq = ls[:, 0, :]                                             # (q, d)
+    ls2 = lsq * lsq
+    sq = jnp.einsum("bi,id->bd", rows, xc * xc, precision=_HIGHEST)
+    crossd = jnp.einsum("bid,id->bd", wx, xc, precision=_HIGHEST)
+    dls = -4.0 * (sq - crossd)
+    if lsq.shape[-1] == 1 and dls.shape[-1] != 1:
+        dls = jnp.sum(dls, axis=-1, keepdims=True)
+    dls = (dls / (lsq * ls2))[:, None, :].astype(ls.dtype)
+
+    dx = jnp.zeros_like(xc)        # training inputs are constants (docstring)
+    droots = None if roots is None else jnp.zeros_like(roots)
+    return (dx, dls, dos, dH, dSt, dY,
+            jnp.zeros_like(eps), jnp.zeros_like(xi), droots)
+
+
+lmc_pcg_log_prob_stationary.defvjp(_fused_fwd, _fused_bwd)

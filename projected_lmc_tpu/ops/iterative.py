@@ -262,18 +262,18 @@ def _bwd_impl(max_cg_iters, cg_tol, slq_steps, matvec_bf16, precond_rank,
           ).astype(Ks.dtype)   # bf16 stacks carry bf16 cotangents
 
     # dΣ/dH[t,b] = K_b ⊗ (h_b e_tᵀ + e_t h_bᵀ)  ⇒  for A = Σ_k c_k u_k v_kᵀ:
-    # dH[t,b] = Σ_k c_k [(K_b V_k)[:,t]·(U_k h_b) + U_k[:,t]·(K_b V_k h_b)]
+    # dH[t,b] = Σ_k c_k [(K_b V_k)[:,t]·(U_k h_b) + U_k[:,t]·(K_b V_k h_b)].
+    # The three K-products (against αh, Wh, Zh) are ONE batched contraction:
+    # the stack is streamed from HBM exactly once — measured on the tunneled
+    # v5e, streaming it three times was most of the backward's cost.
+    R3 = jnp.concatenate([Ah[None], WH, ZH], axis=0)        # (1+2s, n, q)
     if Ks.dtype == jnp.bfloat16:
-        # stream the stack once in bf16, accumulate fp32 on the MXU
-        kdot = lambda sub, a, b: jnp.einsum(
-            sub, a, b.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32)
+        KR = jnp.einsum("bij,rjb->rib", Ks, R3.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
     else:
-        kdot = lambda sub, a, b: jnp.einsum(sub, a, b, precision=_HIGHEST)
-    KAh = kdot("bij,jb->ib", Ks, Ah)                              # K_b (α h_b)
+        KR = jnp.einsum("bij,rjb->rib", Ks, R3, precision=_HIGHEST)
+    KAh, KWH, KZH = KR[0], KR[1:1 + s], KR[1 + s:]
     dH_a = jnp.einsum("nt,nb->tb", alpha, KAh, precision=_HIGHEST)
-    KWH = kdot("bij,sjb->sib", Ks, WH)
-    KZH = kdot("bij,sjb->sib", Ks, ZH)
     dH_s = 0.5 * (jnp.einsum("snt,snb->tb", Z, KWH, precision=_HIGHEST)
                   + jnp.einsum("snt,snb->tb", W, KZH, precision=_HIGHEST))
     dH = g * (dH_a - dH_s / s)

@@ -23,26 +23,55 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 128
+TILE = 128        # small-problem tile
+TILE_BIG = 512    # large-problem tile: a (128, 128) grid at n=10⁴ is ~25k
+                  # programs whose per-program overhead dominates (measured
+                  # 85 ms vs 10.3 ms at 512×512 on the tunneled v5e)
 
 
-def _profile(kind: str, d2):
+def _pick_tile(n, m):
+    return TILE_BIG if min(n, m) >= 4 * TILE_BIG else TILE
+
+
+_LOG2E = 1.4426950408889634
+# Taylor of 2^f = e^{f ln2} on [0,1): degree-5, rel err ~2e-5 — two decades
+# below the bf16 stack's own 2⁻⁸ rounding class
+_EXP2_C = (1.0, 0.6931471805599453, 0.2402265069591007,
+           0.05550410866482158, 0.009618129107628477, 0.0013333558146428443)
+
+
+def _fast_exp_neg(c):
+    """e^{-c} for c >= 0 via exp2 bit assembly — a short fixed VPU sequence
+    (floor, fma chain, int shift, bitcast) instead of the libm-grade exp.
+    Used only for bf16-output tiles: max rel err ~2e-5 ≪ bf16's 4e-3."""
+    x = jnp.maximum(-c * _LOG2E, -126.0)
+    n = jnp.floor(x)
+    f = x - n
+    p = _EXP2_C[5]
+    for coef in _EXP2_C[4::-1]:
+        p = p * f + coef
+    scale = pltpu.bitcast(((n.astype(jnp.int32) + 127) << 23), jnp.float32)
+    return p * scale
+
+
+def _profile(kind: str, d2, fast: bool = False):
     """Stationary profile g(r²) on the VPU."""
+    exp_neg = _fast_exp_neg if fast else (lambda c: jnp.exp(-c))
     if kind == "rbf":
-        return jnp.exp(-0.5 * d2)
+        return exp_neg(0.5 * d2)
     r = jnp.sqrt(jnp.maximum(d2, 1e-30))
     if kind == "matern05":
-        return jnp.exp(-r)
+        return exp_neg(r)
     if kind == "matern15":
         c = math.sqrt(3.0) * r
-        return (1.0 + c) * jnp.exp(-c)
+        return (1.0 + c) * exp_neg(c)
     if kind == "matern25":
         c = math.sqrt(5.0) * r
-        return (1.0 + c + (5.0 / 3.0) * d2) * jnp.exp(-c)
+        return (1.0 + c + (5.0 / 3.0) * d2) * exp_neg(c)
     raise ValueError(f"unknown kernel kind {kind!r}")
 
 
-def _tile_kernel(kind, x1_ref, x2_ref, ls_ref, out_ref):
+def _tile_kernel(kind, fast, x1_ref, x2_ref, ls_ref, out_ref):
     # x1_ref: (TILE, d), x2_ref: (TILE, d), ls_ref: (1, 1, d) for this batch el.
     inv_l = 1.0 / ls_ref[0]                      # (1, d)
     a = x1_ref[:] * inv_l                        # (TILE, d) VPU
@@ -56,7 +85,164 @@ def _tile_kernel(kind, x1_ref, x2_ref, ls_ref, out_ref):
     n1 = jnp.sum(a * a, axis=1, keepdims=True)   # (TILE, 1)
     n2 = jnp.sum(b * b, axis=1, keepdims=True)   # (TILE, 1)
     d2 = jnp.maximum(n1 + n2.T - 2.0 * cross, 0.0)
-    out_ref[0] = _profile(kind, d2).astype(out_ref.dtype)
+    out_ref[0] = _profile(kind, d2, fast).astype(out_ref.dtype)
+
+
+def _dprofile(kind: str, d2):
+    """dk/d(d²) on the VPU (mirrors kernels._dprofile; libm exp — gradient
+    precision is kept fp32-grade even when the forward tiles are bf16)."""
+    if kind == "rbf":
+        return -0.5 * jnp.exp(-0.5 * d2)
+    r = jnp.sqrt(jnp.maximum(d2, 1e-30))
+    if kind == "matern05":
+        return jnp.where(d2 <= 1e-12, jnp.zeros_like(d2),
+                         -jnp.exp(-r) / (2.0 * r))
+    if kind == "matern15":
+        return -1.5 * jnp.exp(-math.sqrt(3.0) * r)
+    return (-5.0 / 6.0) * (1.0 + math.sqrt(5.0) * r) * jnp.exp(-math.sqrt(5.0) * r)
+
+
+def _scaled_tile_kernel(kind, fast, x1_ref, x2_ref, ls_ref, os_ref, out_ref):
+    """Like _tile_kernel with a per-batch outputscale applied in VMEM.
+    os_ref holds the FULL (B, 1) array (a (1, 1) block would violate
+    Mosaic's block-shape rule: the sublane dim must divide 8 or equal the
+    array dim); the per-batch element is picked by program id."""
+    os_b = os_ref[pl.program_id(0), 0]
+    inv_l = 1.0 / ls_ref[0]
+    a = x1_ref[:] * inv_l
+    b = x2_ref[:] * inv_l
+    cross = jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    n1 = jnp.sum(a * a, axis=1, keepdims=True)
+    n2 = jnp.sum(b * b, axis=1, keepdims=True)
+    d2 = jnp.maximum(n1 + n2.T - 2.0 * cross, 0.0)
+    out_ref[0] = (_profile(kind, d2, fast) * os_b).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "interpret", "out_dtype"))
+def scaled_kernel_stack(x1, x2, lengthscale, outputscale, kind: str,
+                        interpret: bool = False, out_dtype=None):
+    """os_b · K_b tiles written straight from VMEM: the ScaleKernel epilogue
+    fused into the builder, so the fused-MLL forward (ops/fused_mll.py) never
+    streams the (B, n, m) stack a second time to apply the outputscale.
+    NOT differentiable (no VJP rule): callers own the gradient (the fused MLL
+    computes it analytically from its low-rank cotangent factors)."""
+    n, d = x1.shape
+    m = x2.shape[0]
+    B = lengthscale.shape[0]
+    tile = _pick_tile(n, m)
+    n_pad = (-n) % tile
+    m_pad = (-m) % tile
+    x1p = jnp.pad(x1, ((0, n_pad), (0, 0)))
+    x2p = jnp.pad(x2, ((0, m_pad), (0, 0)))
+    np_, mp_ = n + n_pad, m + m_pad
+    fast = out_dtype == jnp.bfloat16
+    grid = (B, np_ // tile, mp_ // tile)
+    out = pl.pallas_call(
+        functools.partial(_scaled_tile_kernel, kind, fast),
+        out_shape=jax.ShapeDtypeStruct((B, np_, mp_), out_dtype or x1.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda b, i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda b, i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda b, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, tile), lambda b, i, j: (b, i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x1p, x2p, lengthscale, outputscale.reshape(B, 1))
+    return out[:, :n, :m]
+
+
+def _lowrank_vjp_tile(kind, x_row_ref, x_col_ref, ls_ref, a_ref, b_ref,
+                      rows_ref, wx_ref):
+    """One (tile × tile) block of the SYMMETRIC low-rank kernel-cotangent
+    reduction: W = (A_i B_jᵀ) ⊙ dprofile(d²_ij), accumulating row sums and
+    W @ x_j over the (innermost) column-tile sweep. The (B, n, n) cotangent
+    and the W intermediate never exist in HBM — only their row-reductions."""
+    j = pl.program_id(2)
+    inv_l = 1.0 / ls_ref[0]
+    a = x_row_ref[:] * inv_l
+    b = x_col_ref[:] * inv_l
+    cross = jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    n1 = jnp.sum(a * a, axis=1, keepdims=True)
+    n2 = jnp.sum(b * b, axis=1, keepdims=True)
+    d2 = jnp.maximum(n1 + n2.T - 2.0 * cross, 0.0)
+    T = jax.lax.dot_general(                       # (tile, tile) rank-r tile
+        a_ref[0], b_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    W = T * _dprofile(kind, d2)
+    # rows carried as (1, tile, 1): a (1, tile) block over a (B, n) array
+    # would put a unit block in the sublane dim (Mosaic rejects it)
+    rows_t = jnp.sum(W, axis=1)[None, :, None]     # (1, tile, 1)
+    wx_t = jax.lax.dot_general(                    # (tile, d)
+        W, x_col_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)[None]
+
+    @pl.when(j == 0)
+    def _init():
+        rows_ref[...] = rows_t
+        wx_ref[...] = wx_t
+
+    @pl.when(j != 0)
+    def _acc():
+        rows_ref[...] += rows_t
+        wx_ref[...] += wx_t
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "interpret"))
+def lowrank_stationary_reduce(x, lengthscale, A, Bf, kind: str,
+                              interpret: bool = False):
+    """(rows, wx) reductions of the symmetric low-rank kernel cotangent
+    dK_b = A_b B_bᵀ (A, Bf: (B, n, r)) against the stationary profile
+    derivative: rows[b,i] = Σ_j W_bij, wx[b,i,:] = Σ_j W_bij x_j with
+    W_b = (A_b B_bᵀ) ⊙ dprofile(d²_b). Everything a symmetric stationary
+    kernel's lengthscale VJP needs, without materializing dK or W."""
+    n, d = x.shape
+    B, _, r = A.shape
+    tile = _pick_tile(n, n)
+    pad = (-n) % tile
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    Ap = jnp.pad(A, ((0, 0), (0, pad), (0, 0)))
+    Bp = jnp.pad(Bf, ((0, 0), (0, pad), (0, 0)))
+    np_ = n + pad
+    grid = (B, np_ // tile, np_ // tile)
+    rows, wx = pl.pallas_call(
+        functools.partial(_lowrank_vjp_tile, kind),
+        out_shape=(jax.ShapeDtypeStruct((B, np_, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, np_, d), jnp.float32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda b, i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda b, i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, r), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, r), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, tile, 1), lambda b, i, j: (b, i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, tile, d), lambda b, i, j: (b, i, 0),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(xp, xp, lengthscale, Ap, Bp)
+    return rows[:, :n, 0], wx[:, :n]
 
 
 def xla_kernel_matrix(x1, x2, lengthscale, kind: str = "matern25"):
@@ -109,26 +295,30 @@ def _pallas_forward(x1, x2, lengthscale, kind: str = "matern25",
     n, d = x1.shape
     m = x2.shape[0]
     B = lengthscale.shape[0]
-    n_pad = (-n) % TILE
-    m_pad = (-m) % TILE
+    tile = _pick_tile(n, m)
+    n_pad = (-n) % tile
+    m_pad = (-m) % tile
     x1p = jnp.pad(x1, ((0, n_pad), (0, 0)))
     x2p = jnp.pad(x2, ((0, m_pad), (0, 0)))
     np_, mp_ = n + n_pad, m + m_pad
 
-    grid = (B, np_ // TILE, mp_ // TILE)
+    # the short exp2 sequence replaces libm exp whenever the result is
+    # downcast to bf16 anyway (its ~2e-5 rel err is noise next to 2⁻⁸)
+    fast = out_dtype == jnp.bfloat16
+    grid = (B, np_ // tile, mp_ // tile)
     out = pl.pallas_call(
-        functools.partial(_tile_kernel, kind),
+        functools.partial(_tile_kernel, kind, fast),
         out_shape=jax.ShapeDtypeStruct((B, np_, mp_), out_dtype or x1.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE, d), lambda b, i, j: (i, 0),
+            pl.BlockSpec((tile, d), lambda b, i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, d), lambda b, i, j: (j, 0),
+            pl.BlockSpec((tile, d), lambda b, i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, d), lambda b, i, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE, TILE), lambda b, i, j: (b, i, j),
+        out_specs=pl.BlockSpec((1, tile, tile), lambda b, i, j: (b, i, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x1p, x2p, lengthscale)
