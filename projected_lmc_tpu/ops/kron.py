@@ -83,10 +83,12 @@ def icm_log_prob_chol(K, B, Sigma_t, Ydelta, jitter: float = 1e-8,
     eigenbasis is reused across test chunks).
 
     ``chol_bf16`` routes the batched factorization through the blocked
-    bf16-trailing-update Cholesky (ops/blocked_cholesky.py) — the MXU's
-    native-bf16 rate for the O(n³) bulk, fp32 panels/diagonal; the same
-    operator-noise class as the bf16 LMC kernel-stack matvec, for training
-    steps only."""
+    bf16-trailing-update Cholesky (ops/blocked_cholesky.py). Opt-in and
+    for training steps on WELL-CONDITIONED operators only (condition
+    ≲ 250): on low-rank-dominant + small-ridge spectra the bf16 update
+    noise exceeds the trailing Schur complement's scale, and the factor
+    degrades to jitter-ladder accuracy (finite, but far from the true
+    factor — measured analysis in results/PERF_NOTES.md)."""
     n, t = Ydelta.shape
     Rt = safe_cholesky(Sigma_t)
     tmp = solve_triangular(Rt, B, lower=True)
