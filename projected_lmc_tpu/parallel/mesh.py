@@ -55,6 +55,29 @@ def _path_names(path):
     return names
 
 
+def _spec_for(path, leaf, q, data_ax, latent_ax):
+    """(PartitionSpec, rule-tag) for one leaf. Replication is always
+    *correct* (pjit propagation still computes the right values) — the rule
+    tags exist so :func:`sharding_report` and the sharding tests can catch
+    leaves silently falling through to replication, which is a performance
+    bug, not a correctness one."""
+    if not hasattr(leaf, "ndim") or leaf.ndim == 0:
+        return P(), "scalar"
+    names = _path_names(path)
+    if "train_x" in names or "train_y_tasks" in names:
+        if leaf.shape[0] % data_ax == 0:
+            return P("data", *([None] * (leaf.ndim - 1))), "data-rows"
+        return P(), "data-rows-indivisible"
+    latent_scopes = ("covar_module", "likelihood", "train_y", "var_mean",
+                     "var_chol", "lmc_coeffs", "mean_module")
+    if any(n in latent_scopes for n in names) and q is not None \
+            and leaf.shape[0] == q and q % latent_ax == 0:
+        if "train_y" in names and leaf.ndim == 2 and leaf.shape[1] % data_ax == 0:
+            return P("latent", "data"), "latent-by-data"
+        return P("latent", *([None] * (leaf.ndim - 1))), "latent-batch"
+    return P(), "replicated"
+
+
 def model_shardings(model, mesh: Mesh, n_latents: int = None):
     """Sharding pytree for a GP model:
 
@@ -62,31 +85,36 @@ def model_shardings(model, mesh: Mesh, n_latents: int = None):
       * latent-batched leaves (leading dim == n_latents) inside kernel,
         likelihood, variational state, train_y -> P('latent', ...)
       * everything else replicated
+
+    :func:`sharding_report` exposes the per-leaf decisions; the sharding
+    test-suite pins the expected decision for every key leaf of each model
+    family, so a mis-classified leaf fails a test instead of silently
+    replicating.
     """
     q = n_latents if n_latents is not None else getattr(model, "n_latents",
                                                         getattr(model, "n_funcs", None))
     data_ax = mesh.shape["data"]
     latent_ax = mesh.shape["latent"]
-
-    def spec_for(path, leaf):
-        if not hasattr(leaf, "ndim") or leaf.ndim == 0:
-            return P()
-        names = _path_names(path)
-        if "train_x" in names or "train_y_tasks" in names:
-            if leaf.shape[0] % data_ax == 0:
-                return P("data", *([None] * (leaf.ndim - 1)))
-            return P()
-        latent_scopes = ("covar_module", "likelihood", "train_y", "var_mean",
-                         "var_chol", "lmc_coeffs", "mean_module")
-        if any(n in latent_scopes for n in names) and q is not None \
-                and leaf.shape[0] == q and q % latent_ax == 0:
-            if "train_y" in names and leaf.ndim == 2 and leaf.shape[1] % data_ax == 0:
-                return P("latent", "data")
-            return P("latent", *([None] * (leaf.ndim - 1)))
-        return P()
-
     paths_leaves, _ = jax.tree_util.tree_flatten_with_path(model)
-    return [NamedSharding(mesh, spec_for(p, l)) for p, l in paths_leaves]
+    return [NamedSharding(mesh, _spec_for(p, l, q, data_ax, latent_ax)[0])
+            for p, l in paths_leaves]
+
+
+def sharding_report(model, mesh: Mesh, n_latents: int = None):
+    """Audit view of :func:`model_shardings`: ``{path: (spec, rule)}`` for
+    every array leaf. Use to verify a new model class actually shards where
+    intended (``'replicated'`` on a latent-batched or n-indexed leaf means a
+    heuristic missed it)."""
+    q = n_latents if n_latents is not None else getattr(model, "n_latents",
+                                                        getattr(model, "n_funcs", None))
+    data_ax = mesh.shape["data"]
+    latent_ax = mesh.shape["latent"]
+    paths_leaves, _ = jax.tree_util.tree_flatten_with_path(model)
+    out = {}
+    for p, l in paths_leaves:
+        spec, rule = _spec_for(p, l, q, data_ax, latent_ax)
+        out[".".join(_path_names(p))] = (spec, rule)
+    return out
 
 
 def shard_model(model, mesh: Mesh, n_latents: int = None):

@@ -163,5 +163,87 @@ class TestSharding:
         np.testing.assert_allclose(sharded, unsharded, rtol=1e-9)
 
 
+class TestShardingReport:
+    """Pins model_shardings' per-leaf decisions for every model family.
+
+    model_shardings classifies leaves by path-name + shape heuristics;
+    a mis-classified leaf silently replicates — correct but unsharded
+    (a performance bug). These tests turn that into a failure: for each
+    family, the leaves that carry the parallel work MUST get their
+    expected rule, and nothing in the latent scopes may fall through to
+    'replicated' while being latent-batched."""
+
+    @staticmethod
+    def _report(m, mesh):
+        from projected_lmc_tpu.parallel.mesh import sharding_report
+        return sharding_report(m, mesh)
+
+    def _assert_rules(self, rep, expected):
+        for path_frag, rule in expected:
+            hits = {p: r for p, (s, r) in rep.items() if path_frag in p}
+            assert hits, f"no leaf matching {path_frag!r} in report"
+            assert any(r == rule for r in hits.values()), \
+                f"{path_frag!r}: expected rule {rule!r}, got {hits}"
+
+    def test_projected_report(self, mesh):
+        X, Y = make_data(n=64)
+        m = pl.ProjectedGPModel(X, Y, Y.shape[1], 2, init_lmc_coeffs=True,
+                                kernel_type="matern")
+        rep = self._report(m, mesh)
+        self._assert_rules(rep, [
+            ("train_x", "data-rows"),
+            ("covar_module", "latent-batch"),       # per-latent lengthscales
+            ("likelihood", "latent-batch"),         # per-latent noises
+            ("train_y", "latent-by-data"),          # projected targets (q, n)
+        ])
+
+    def test_multitask_report(self, mesh):
+        X, Y = make_data(n=64)
+        m = pl.MultitaskGPModel(
+            X, Y[:, :4], pl.MultitaskGaussianLikelihood(num_tasks=4),
+            n_tasks=4, n_latents=2, model_type="LMC", kernel_type="matern")
+        rep = self._report(m, mesh)
+        self._assert_rules(rep, [
+            ("train_x", "data-rows"),
+            ("covar_module", "latent-batch"),
+        ])
+
+    def test_variational_report(self, mesh):
+        X, Y = make_data(n=48)
+        m = pl.VariationalMultitaskGPModel(
+            X, n_latents=2, n_tasks=Y.shape[1], train_y=Y,
+            init_lmc_coeffs=True, kernel_type="matern", mean_type="zero")
+        rep = self._report(m, mesh)
+        self._assert_rules(rep, [
+            ("train_x", "data-rows"),
+            ("covar_module", "latent-batch"),
+            ("var_mean", "latent-batch"),
+            ("var_chol", "latent-batch"),
+        ])
+
+    def test_no_silent_latent_replication(self, mesh):
+        """Any 2-D+ leaf under a latent scope whose leading dim == q must be
+        latent-sharded, not replicated (divisibility holds: q=2 on a
+        latent-axis-2 mesh)."""
+        X, Y = make_data(n=64)
+        m = pl.ProjectedGPModel(X, Y, Y.shape[1], 2, init_lmc_coeffs=True,
+                                kernel_type="matern")
+        rep = self._report(m, mesh)
+        scopes = ("covar_module", "likelihood", "mean_module")
+        leaves = {p: l for (p, l) in zip(
+            [".".join(map(str, [getattr(k, 'name', getattr(k, 'key', k))
+                                for k in path]))
+             for path, _ in jax.tree_util.tree_flatten_with_path(m)[0]],
+            jax.tree_util.tree_leaves(m))}
+        for path, (spec, rule) in rep.items():
+            leaf = leaves.get(path)
+            if leaf is None or not hasattr(leaf, "ndim") or leaf.ndim == 0:
+                continue
+            in_scope = any(s in path for s in scopes)
+            if in_scope and leaf.shape[0] == 2:
+                assert rule in ("latent-batch", "latent-by-data"), \
+                    (path, rule, leaf.shape)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
