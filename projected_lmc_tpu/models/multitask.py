@@ -253,7 +253,8 @@ class MultitaskGPModel(Module):
             num_probes: int = 10, max_cg_iters: int = 256,
             cg_tol: float = 1e-2, slq_steps: int = 20,
             matvec_bf16: bool = False, precond_rank: int = 0,
-            quad_method: str = "pcg", precond_roots=None):
+            quad_method: str = "pcg", precond_roots=None,
+            matvec_int8: bool = False):
         """Exact multitask MLL / (n·T), plus hyper-prior terms.
 
         For LMC at large scale (q·n > DENSE_QN_MAX, or ``iterative=True``) the
@@ -273,6 +274,18 @@ class MultitaskGPModel(Module):
         (e.g. once per lax.scan chunk) trades nothing but CG iteration count
         for skipping the per-step landmark factorization (~13% of the
         training step at the benchmark scale on a v5e).
+
+        ``matvec_int8``: run the CG loop (and, on the fused route, the
+        backward's stack stream) on an int8-quantized kernel stack — ¼ the
+        fp32 HBM bytes in the dominant phase, ~1% operator noise. Takes
+        precedence over ``matvec_bf16``.
+
+        PRECISION FLOOR (measured — results/PERF_NOTES.md): a low-precision
+        matvec trains as if an extra jitter of ~‖K‖·4e-3 (bf16) / ~8e-3
+        (int8) were added to the likelihood. Use bf16/int8 for the
+        loss-descent bulk of training; once the learned noise approaches
+        that scale, continue with the fp32 matvec (or the dense path) for
+        deep convergence.
         """
         x = self.train_x if x is None else x
         y = self.train_y if y is None else _canon_targets(jnp.asarray(y), self.n_tasks)
@@ -319,7 +332,7 @@ class MultitaskGPModel(Module):
                         ll = fused_mll.lmc_pcg_log_prob_stationary(
                             jax.lax.stop_gradient(x), ls, os_, H, St, Ydelta,
                             eps, xi, roots, kind, max_cg_iters, cg_tol,
-                            matvec_bf16, precond_rank)
+                            matvec_bf16, precond_rank, matvec_int8)
                         num_data = n * self.n_tasks
                         return (ll + self.covar_module.prior_log_prob()) \
                             / num_data
@@ -338,7 +351,7 @@ class MultitaskGPModel(Module):
                         Kin = self.covar_module(x)
                     ll = it_ops.lmc_pcg_log_prob(
                         Kin, H, St, Ydelta, eps, xi, roots, max_cg_iters,
-                        cg_tol, matvec_bf16, precond_rank)
+                        cg_tol, matvec_bf16, precond_rank, matvec_int8)
                 else:
                     Ks = self.covar_module(x)
                     probes = it_ops.draw_probes(key, n, self.n_tasks,

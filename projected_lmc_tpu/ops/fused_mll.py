@@ -71,10 +71,11 @@ def _lowrank_reduce(xc, ls, A, Bf, kind):
     return rows, wx
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+@partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
 def lmc_pcg_log_prob_stationary(x, ls, os_, H, St, Ydelta, eps, xi, roots,
                                 kind, max_cg_iters=32, cg_tol=1e-2,
-                                matvec_bf16=False, precond_rank=256):
+                                matvec_bf16=False, precond_rank=256,
+                                matvec_int8=False):
     """log N(vec(Y); 0, Σ_b os_b K_b(x; ls_b) ⊗ h_b h_bᵀ + I ⊗ Σt) with the
     stack built inside the op (iterative.lmc_pcg_log_prob semantics,
     stationary-kernel-specialized backward; see module docstring).
@@ -83,29 +84,47 @@ def lmc_pcg_log_prob_stationary(x, ls, os_, H, St, Ydelta, eps, xi, roots,
     zeros. ls (q, 1, d) lengthscales, os_ (q,) outputscales (ones for a bare
     kernel — the cotangent of a literal is discarded by the caller's jvp).
     Remaining args exactly as :func:`iterative.lmc_pcg_log_prob`.
+
+    ``matvec_int8``: the Pallas builder writes int8 tiles straight from VMEM
+    (round(profile·127); dequant scale os_b/127 — range-exact since the
+    stationary profile lies in [0, 1]); the CG loop and the backward's
+    batched stack stream run int8×int8→int32 on the MXU at ¼ the fp32 HBM
+    bytes. Operator noise ~1% relative (vs bf16's 0.4%) — same class the
+    training tolerances absorb. Takes precedence over ``matvec_bf16``.
     """
     ll, _ = _fused_fwd(x, ls, os_, H, St, Ydelta, eps, xi, roots, kind,
-                       max_cg_iters, cg_tol, matvec_bf16, precond_rank)
+                       max_cg_iters, cg_tol, matvec_bf16, precond_rank,
+                       matvec_int8)
     return ll
 
 
 def _fused_fwd(x, ls, os_, H, St, Ydelta, eps, xi, roots, kind,
-               max_cg_iters, cg_tol, matvec_bf16, precond_rank):
+               max_cg_iters, cg_tol, matvec_bf16, precond_rank,
+               matvec_int8=False):
     # translation-invariant centering, as kernels._skm_fwd (exact)
     mu = jax.lax.stop_gradient(jnp.mean(x, axis=0))
     xc = x - mu
-    out_dtype = jnp.bfloat16 if matvec_bf16 else None
-    Ks = _scaled_stack(xc, ls, os_, kind, out_dtype)
+    if matvec_int8:
+        if _use_pallas(xc):
+            Ks = pk.quantized_kernel_stack(xc, xc, ls, kind)
+        else:
+            Kb = pk.xla_kernel_matrix(xc, xc, ls, kind)
+            Ks = jnp.round(Kb * 127.0).astype(jnp.int8)
+        kscale = (os_.astype(jnp.float32) / 127.0)
+    else:
+        out_dtype = jnp.bfloat16 if matvec_bf16 else None
+        Ks = _scaled_stack(xc, ls, os_, kind, out_dtype)
+        kscale = None
     ll, res = it._pcg_fwd_impl(Ks, H, St, Ydelta, eps, xi, roots,
                                max_cg_iters, cg_tol, matvec_bf16,
-                               precond_rank)
+                               precond_rank, matvec_int8, kscale)
     _, _, _, alpha, W, Ztilde, _, _, _ = res
     return ll, (xc, ls, os_, Ks, H, St, alpha, W, Ztilde,
                 eps, xi, roots)
 
 
 def _fused_bwd(kind, max_cg_iters, cg_tol, matvec_bf16, precond_rank,
-               res, g):
+               matvec_int8, res, g):
     xc, ls, os_, Ks, H, St, alpha, W, Zt, eps, xi, roots = res
     s = max(W.shape[0], 1)
 
@@ -115,7 +134,17 @@ def _fused_bwd(kind, max_cg_iters, cg_tol, matvec_bf16, precond_rank,
 
     # ONE batched stack stream serves dH, dΣt-free terms AND dos
     R3 = jnp.concatenate([Ah[None], WH, ZH], axis=0)              # (1+2s,n,q)
-    if Ks.dtype == jnp.bfloat16:
+    if Ks.dtype == jnp.int8:
+        # int8 stack without outputscale: quantize R3 per (probe, latent)
+        # column, contract int8×int8→int32, dequantize with os folded in
+        rs = jnp.clip(jnp.max(jnp.abs(R3), axis=1, keepdims=True),
+                      1e-30) / 127.0                              # (r, 1, q)
+        Rq = jnp.clip(jnp.round(R3 / rs), -127, 127).astype(jnp.int8)
+        KRi = jnp.einsum("bij,rjb->rib", Ks, Rq,
+                         preferred_element_type=jnp.int32)
+        KR = KRi.astype(jnp.float32) * (
+            rs * (os_.astype(jnp.float32) / 127.0)[None, None, :])
+    elif Ks.dtype == jnp.bfloat16:
         KR = jnp.einsum("bij,rjb->rib", Ks, R3.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
     else:

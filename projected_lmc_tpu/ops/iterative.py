@@ -69,6 +69,40 @@ def lmc_matvec(Ks, H, St, V):
     return out + jnp.matmul(V, St, precision=_HIGHEST)
 
 
+def quantize_stack_int8(Ks):
+    """Symmetric per-latent int8 quantization of a kernel stack:
+    K_b ≈ scale_b · Q_b with Q_b = round(K_b/scale_b) ∈ [−127, 127].
+
+    One full-stack read + an int8 write (¼ the fp32 bytes); every CG
+    iteration thereafter streams 2× less than bf16 and 4× less than fp32.
+    Returns (Q (q,n,n) int8, scale (q,) float32)."""
+    absmax = jnp.max(jnp.abs(Ks), axis=(-2, -1)).astype(jnp.float32)
+    scale = jnp.clip(absmax, 1e-30) / 127.0
+    Q = jnp.clip(jnp.round(Ks.astype(jnp.float32)
+                           / scale[:, None, None]), -127, 127
+                 ).astype(jnp.int8)
+    return Q, scale
+
+
+def lmc_matvec_int8(Kq, kscale, H, St, V):
+    """:func:`lmc_matvec` with an int8-quantized stack: the (q, n, n) HBM
+    stream runs at 1 byte/entry and the contraction runs int8×int8→int32 on
+    the MXU (2× the bf16 rate on a v5e). The CG directions are re-quantized
+    per (rhs, latent) column with dynamic symmetric scales; combined operator
+    noise is ~1% relative — the same class CG training tolerances absorb
+    (gpytorch trains at cg_tolerance 1.0)."""
+    W = jnp.einsum("...nt,tb->...nb", V, H, precision=_HIGHEST)
+    ws = jnp.clip(jnp.max(jnp.abs(W), axis=-2, keepdims=True),
+                  1e-30) / 127.0                               # (..., 1, q)
+    Wq = jnp.clip(jnp.round(W / ws), -127, 127).astype(jnp.int8)
+    Zi = jnp.einsum("bij,...jb->...ib", Kq, Wq,
+                    preferred_element_type=jnp.int32)
+    Z = Zi.astype(jnp.float32) * (kscale[None, :] * ws)
+    out = jnp.einsum("...nb,tb->...nt", Z.astype(V.dtype), H,
+                     precision=_HIGHEST)
+    return out + jnp.matmul(V, St, precision=_HIGHEST)
+
+
 def _jacobi_diag(Ks, H, St):
     """diag(Σ) as an (n, T) grid: Σ_b K_b[i,i] h_b[t]² + Σt[t,t]."""
     kdiag = jnp.diagonal(Ks, axis1=-2, axis2=-1)          # (q, n)
@@ -146,13 +180,18 @@ def batched_pcg(matvec, B, Md, max_iters: int = 256, tol: float = 1e-4,
     def body(state):
         X, R, Z, P, rz, it = state
         Ap = matvec(P)
-        alpha = rz / jnp.clip(dot(P, Ap), 1e-30)
+        pAp = dot(P, Ap)
+        # breakdown guard (see pcg_with_tridiag): restart RHS whose search
+        # direction hits non-positive curvature from operator noise
+        ok = (pAp > 0.0)[:, None, None]
+        alpha = jnp.where(ok[:, 0, 0], rz / jnp.clip(pAp, 1e-30), 0.0)
         X = X + alpha[:, None, None] * P
-        R = R - alpha[:, None, None] * Ap
+        R = jnp.where(ok, R - alpha[:, None, None] * Ap, R)
         Z = minv(R)
         rz_new = dot(R, Z)
-        beta = rz_new / jnp.clip(rz, 1e-30)
-        P = Z + beta[:, None, None] * P
+        beta = jnp.where(ok[:, 0, 0], rz_new / jnp.clip(rz, 1e-30), 0.0)
+        # broken directions reset to steepest descent (P ← Z)
+        P = jnp.where(ok, Z + beta[:, None, None] * P, Z)
         return X, R, Z, P, rz_new, it + 1
 
     X, R, *_ = lax.while_loop(cond, body, (X, R, Z, P, rz,
@@ -375,21 +414,31 @@ def pcg_with_tridiag(matvec, B, minv, max_iters: int, tol: float):
         X, Rr, Z, P, rz, alphas, betas, active, done, it = state
         Ap = matvec(P)
         pAp = dot(P, Ap)
-        alpha = jnp.where(done, 1.0, rz / jnp.clip(pAp, 1e-30))
-        upd = (~done)[:, None, None]
+        # breakdown guard: low-precision matvecs (bf16/int8 operator noise)
+        # can push pAp ≤ 0 on an ill-conditioned direction; clipping it to a
+        # tiny positive would explode alpha to ~1e30 and NaN the solves.
+        # RESTART such RHS from steepest descent (P ← Z): the bad curvature
+        # is direction-specific, and a restarted iteration usually recovers
+        # (freezing permanently would hand the backward stale probe solves).
+        brk = jnp.logical_and(pAp <= 0.0, ~done)
+        skip = jnp.logical_or(done, brk)
+        alpha = jnp.where(skip, 1.0, rz / jnp.clip(pAp, 1e-30))
+        upd = (~skip)[:, None, None]
         X = jnp.where(upd, X + alpha[:, None, None] * P, X)
         Rn = jnp.where(upd, Rr - alpha[:, None, None] * Ap, Rr)
         Zn = minv(Rn)
         rzn = dot(Rn, Zn)
-        beta = jnp.where(done, 0.0, rzn / jnp.clip(rz, 1e-30))
-        Pn = jnp.where(upd, Zn + beta[:, None, None] * P, P)
+        beta = jnp.where(skip, 0.0, rzn / jnp.clip(rz, 1e-30))
+        Pn = jnp.where(upd, Zn + beta[:, None, None] * P,
+                       jnp.where(brk[:, None, None], Zn, P))
         alphas = alphas.at[it].set(alpha)
         betas = betas.at[it].set(beta)
-        active = active.at[it].set(~done)
+        active = active.at[it].set(~skip)
         rel = jnp.sqrt(jnp.clip(dot(Rn, Rn), 0.0)) / bnorm
         done = jnp.logical_or(done, rel < tol)
         # freeze rz for converged RHS so stale residual products never feed
-        # a later (masked) beta computation
+        # a later (masked) beta computation; restarted RHS re-seed from the
+        # fresh steepest-descent inner product
         rz = jnp.where(done, rz, rzn)
         return X, Rn, Zn, Pn, rz, alphas, betas, active, done, it + 1
 
@@ -427,10 +476,11 @@ def _tridiag_logquad(alphas, betas, active):
     return jnp.sum(tau2 * jnp.log(evals), axis=-1)        # (r,)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def lmc_pcg_log_prob(Ks, H, St, Ydelta, eps, xi, roots=None,
                      max_cg_iters: int = 32, cg_tol: float = 1e-2,
-                     matvec_bf16: bool = False, precond_rank: int = 256):
+                     matvec_bf16: bool = False, precond_rank: int = 256,
+                     matvec_int8: bool = False):
     """log N(vec(Y); 0, Σ_b K_b ⊗ h_b h_bᵀ + I ⊗ Σt) from ONE batched PCG pass.
 
     The fused estimator gpytorch's inv_quad_logdet runs eagerly, compiled to a
@@ -458,15 +508,29 @@ def lmc_pcg_log_prob(Ks, H, St, Ydelta, eps, xi, roots=None,
     evaluate landmark cross-kernels directly, avoiding the strided column
     gather from the materialized stack. The estimator is deliberately not
     differentiated through M, so ``roots`` receives a zero cotangent.
+
+    ``matvec_int8`` (takes precedence over ``matvec_bf16`` for the CG loop):
+    quantize the stack once per evaluation (:func:`quantize_stack_int8`) and
+    run the CG matvecs int8×int8→int32 — half the bf16 HBM traffic in the
+    dominant phase, ~1% operator noise (vs bf16's ~0.4%). The quadrature and
+    backward still see the unquantized stack.
     """
     ll, _ = _pcg_fwd_impl(Ks, H, St, Ydelta, eps, xi, roots, max_cg_iters,
-                          cg_tol, matvec_bf16, precond_rank)
+                          cg_tol, matvec_bf16, precond_rank, matvec_int8)
     return ll
 
 
 def _pcg_fwd_impl(Ks, H, St, Ydelta, eps, xi, roots, max_cg_iters, cg_tol,
-                  matvec_bf16, precond_rank):
+                  matvec_bf16, precond_rank, matvec_int8=False, kscale=None):
+    """``Ks`` may be a pre-quantized int8 stack (then ``kscale`` (q,) carries
+    the per-latent dequantization scales and ``matvec_int8`` must be True —
+    the fused producer writes int8 tiles directly from VMEM)."""
     n, t = Ydelta.shape
+    if Ks.dtype == jnp.int8 and roots is None:
+        # fallback only: the roots Cholesky is fp32-sensitive
+        roots = nystrom_roots_from_kernels(
+            Ks.astype(jnp.float32) * kscale[:, None, None],
+            min(precond_rank, n))
     R, Lt, minv, logdet_M = _nystrom_precond_parts(
         Ks, H, St, precond_rank, roots=jax.lax.stop_gradient(roots)
         if roots is not None else None)
@@ -474,8 +538,15 @@ def _pcg_fwd_impl(Ks, H, St, Ydelta, eps, xi, roots, max_cg_iters, cg_tol,
     z1 = jnp.einsum("snt,ut->snu", eps, Lt, precision=_HIGHEST)
     t2 = jnp.einsum("bnk,sbk->snb", R, xi, precision=_HIGHEST)
     z = z1 + jnp.einsum("snb,tb->snt", t2, H, precision=_HIGHEST)
-    Kmv = Ks.astype(jnp.bfloat16) if matvec_bf16 else Ks
-    matvec = lambda V: lmc_matvec(Kmv, H, St, V)
+    if matvec_int8:
+        if Ks.dtype == jnp.int8:
+            Kq, ks_ = Ks, kscale
+        else:
+            Kq, ks_ = quantize_stack_int8(jax.lax.stop_gradient(Ks))
+        matvec = lambda V: lmc_matvec_int8(Kq, ks_, H, St, V)
+    else:
+        Kmv = Ks.astype(jnp.bfloat16) if matvec_bf16 else Ks
+        matvec = lambda V: lmc_matvec(Kmv, H, St, V)
     B = jnp.concatenate([Ydelta[None], z], axis=0)        # (1+s, n, T)
     X, alphas, betas, active, rz0 = pcg_with_tridiag(
         matvec, B, minv, max_cg_iters, cg_tol)
@@ -488,7 +559,8 @@ def _pcg_fwd_impl(Ks, H, St, Ydelta, eps, xi, roots, max_cg_iters, cg_tol,
     return ll, (Ks, H, St, alpha, W, Ztilde, eps, xi, roots)
 
 
-def _pcg_bwd_impl(max_cg_iters, cg_tol, matvec_bf16, precond_rank, res, g):
+def _pcg_bwd_impl(max_cg_iters, cg_tol, matvec_bf16, precond_rank,
+                  matvec_int8, res, g):
     Ks, H, St, alpha, W, Ztilde, eps, xi, roots = res
     dK, dH, dSt, dY, _ = _bwd_impl(0, 0.0, 0, matvec_bf16, precond_rank,
                                    (Ks, H, St, alpha, W, Ztilde), g)
@@ -538,6 +610,7 @@ def nystrom_roots_from_kernels(Ks, rank: int = 256, jitter: float = 1e-4):
     (n, m) root comes from an MXU matmul — TPU triangular solves substitute
     sequentially, so solving against the n-sized RHS directly is the slow way
     round."""
+    from .cholesky import safe_cholesky
     q, n, _ = Ks.shape
     m = min(rank, n)
     idx = jnp.linspace(0, n - 1, m).astype(jnp.int32)
@@ -546,7 +619,9 @@ def nystrom_roots_from_kernels(Ks, rank: int = 256, jitter: float = 1e-4):
     dt = jnp.float32 if Ks.dtype == jnp.bfloat16 else Ks.dtype
     Kmm = Ks[:, idx[:, None], idx[None, :]].astype(dt)
     Knm = Ks[:, :, idx].astype(dt)
-    Lmm = jnp.linalg.cholesky(Kmm + jitter * jnp.eye(m, dtype=dt))
+    # safe ladder: a quantized/low-precision stack's landmark matrix carries
+    # rounding noise that can exceed the base jitter (e.g. int8's ±kscale/2)
+    Lmm = safe_cholesky(Kmm + jitter * jnp.eye(m, dtype=dt))
     Linv = jax.scipy.linalg.solve_triangular(
         Lmm, jnp.broadcast_to(jnp.eye(m, dtype=dt), Lmm.shape),
         lower=True)

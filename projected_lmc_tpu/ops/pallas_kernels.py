@@ -161,6 +161,62 @@ def scaled_kernel_stack(x1, x2, lengthscale, outputscale, kind: str,
     return out[:, :n, :m]
 
 
+def _quant_tile_kernel(kind, x1_ref, x2_ref, ls_ref, out_ref):
+    """Stationary profile quantized to int8 in VMEM: round(g(d²)·127).
+    g ∈ [0, 1] exactly, so the symmetric scale 1/127 is range-exact; the
+    per-latent outputscale stays OUT of the tile and folds into the
+    dequantization scale (os_b/127) at the consumer."""
+    inv_l = 1.0 / ls_ref[0]
+    a = x1_ref[:] * inv_l
+    b = x2_ref[:] * inv_l
+    cross = jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    n1 = jnp.sum(a * a, axis=1, keepdims=True)
+    n2 = jnp.sum(b * b, axis=1, keepdims=True)
+    d2 = jnp.maximum(n1 + n2.T - 2.0 * cross, 0.0)
+    # int8's own 1/254 rounding dwarfs the fast-exp error — always fast
+    p = _profile(kind, d2, fast=True)
+    out_ref[0] = jnp.round(p * 127.0).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "interpret"))
+def quantized_kernel_stack(x1, x2, lengthscale, kind: str,
+                           interpret: bool = False):
+    """int8 kernel-stack tiles written straight from VMEM (no fp32/bf16
+    (B, n, m) object ever reaches HBM). Consumers dequantize with
+    os_b/127 — see ops/iterative.lmc_matvec_int8. NOT differentiable;
+    the fused MLL owns the gradient analytically."""
+    n, d = x1.shape
+    m = x2.shape[0]
+    B = lengthscale.shape[0]
+    tile = _pick_tile(n, m)
+    n_pad = (-n) % tile
+    m_pad = (-m) % tile
+    x1p = jnp.pad(x1, ((0, n_pad), (0, 0)))
+    x2p = jnp.pad(x2, ((0, m_pad), (0, 0)))
+    np_, mp_ = n + n_pad, m + m_pad
+    grid = (B, np_ // tile, mp_ // tile)
+    out = pl.pallas_call(
+        functools.partial(_quant_tile_kernel, kind),
+        out_shape=jax.ShapeDtypeStruct((B, np_, mp_), jnp.int8),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda b, i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda b, i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, tile), lambda b, i, j: (b, i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x1p, x2p, lengthscale)
+    return out[:, :n, :m]
+
+
 def _lowrank_vjp_tile(kind, x_row_ref, x_col_ref, ls_ref, a_ref, b_ref,
                       rows_ref, wx_ref):
     """One (tile × tile) block of the SYMMETRIC low-rank kernel-cotangent

@@ -35,10 +35,11 @@ def make_problem(n=48, t=5, q=3, d=2, seed=0, dtype=jnp.float64):
     return x, ls, os_, H, St, Y, eps, xi, rank
 
 
-def composed_ll(x, ls, os_, H, St, Y, eps, xi, rank, kind="matern25"):
+def composed_ll(x, ls, os_, H, St, Y, eps, xi, rank, kind="matern25",
+                cg=(200, 1e-12)):
     Ks = kmod.stationary_kernel_matrix(x, x, ls, kind, False, None) \
         * os_[:, None, None]
-    return it.lmc_pcg_log_prob(Ks, H, St, Y, eps, xi, None, 200, 1e-12,
+    return it.lmc_pcg_log_prob(Ks, H, St, Y, eps, xi, None, cg[0], cg[1],
                                False, rank)
 
 
@@ -124,6 +125,79 @@ class TestFusedVsComposed:
                                        rtol=1e-6, atol=1e-10)
 
 
+class TestInt8Matvec:
+    """int8-quantized CG path: operator noise must stay in the documented
+    ~1% class, and the fused int8 MLL must track the fp64 composed dense
+    reference in value and gradient direction."""
+
+    def test_quantize_matvec_error(self):
+        x, ls, os_, H, St, Y, eps, xi, rank = make_problem(n=96)
+        Ks = kmod.stationary_kernel_matrix(x, x, ls, "matern25", False, None) \
+            * os_[:, None, None]
+        Kq, ks = it.quantize_stack_int8(Ks)
+        V = Y[None]
+        exact = it.lmc_matvec(Ks, H, St, V)
+        quant = it.lmc_matvec_int8(Kq, ks, H, St, V)
+        rel = float(jnp.max(jnp.abs(quant - exact))
+                    / jnp.max(jnp.abs(exact)))
+        # max-abs is the pessimistic norm (entrywise errors don't cancel);
+        # the 2-norm operator noise is the ~1% documented class
+        assert rel < 4e-2, rel
+
+    def test_fused_int8_value_and_grads(self):
+        """Fused int8 vs fp64 composed at TRAINING tolerances (the int8
+        matvec's dynamic requantization is slightly nonlinear in V, so CG
+        cannot contract to 1e-12 — int8 is a training-tolerance mode; the
+        same probes + same tolerance isolate the quantization effect).
+
+        Thresholds reflect the MEASURED quantization bias (results/
+        PERF_NOTES.md "precision floor"): the lengthscale gradient is the
+        most noise-sensitive direction (cancellation between the data and
+        trace terms) — cosine ~0.81 on this problem; the other parameter
+        gradients stay well-aligned."""
+        x, ls, os_, H, St, Y, eps, xi, rank = make_problem()
+
+        def f_ref(ls_, os2, H_, St_, Y_):
+            return composed_ll(x, ls_, os2, H_, St_, Y_, eps, xi, rank,
+                               cg=(32, 1e-3))
+
+        def f_int8(ls_, os2, H_, St_, Y_):
+            return fused_mll.lmc_pcg_log_prob_stationary(
+                jax.lax.stop_gradient(x), ls_, os2, H_, St_, Y_, eps, xi,
+                None, "matern25", 32, 1e-3, False, rank, True)
+
+        v_ref = float(f_ref(ls, os_, H, St, Y))
+        v_q = float(f_int8(ls, os_, H, St, Y))
+        assert abs(v_q - v_ref) / abs(v_ref) < 2e-2, (v_q, v_ref)
+        g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4))(ls, os_, H, St, Y)
+        g_q = jax.grad(f_int8, argnums=(0, 1, 2, 3, 4))(ls, os_, H, St, Y)
+        thresholds = {"ls": 0.7, "os": 0.95, "H": 0.95, "St": 0.95,
+                      "Y": 0.95}
+        for a, b, name in zip(g_ref, g_q, ["ls", "os", "H", "St", "Y"]):
+            a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)
+                                 + 1e-30))
+            assert cos > thresholds[name], (name, cos)
+
+    def test_model_int8_route(self):
+        """MultitaskGPModel LMC with matvec_int8 stays close to the exact
+        composed route at training tolerances."""
+        from projected_lmc_tpu.models.multitask import MultitaskGPModel
+        rng = np.random.default_rng(5)
+        n, t, q = 48, 4, 2
+        X = rng.uniform(-1, 1, (n, 3))
+        Y = rng.standard_normal((n, t))
+        kw = dict(n_tasks=t, n_latents=q, model_type="LMC",
+                  kernel_type="matern", fix_diagonal=True, seed=0)
+        m = MultitaskGPModel(X, Y, **kw)
+        key = jax.random.PRNGKey(0)
+        base = dict(key=key, iterative=True, max_cg_iters=32, cg_tol=1e-3,
+                    precond_rank=16, num_probes=4)
+        v_ref = float(m.mll(**base))
+        v_q = float(m.mll(matvec_int8=True, **base))
+        np.testing.assert_allclose(v_q, v_ref, rtol=2e-2)
+
+
 class TestPallasInterpret:
     """Tile kernels vs their dense XLA references (interpret mode, fp32)."""
 
@@ -136,6 +210,18 @@ class TestPallasInterpret:
         want = pk.xla_kernel_matrix(x, x, ls, "matern25") * os_[:, None, None]
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-6)
+
+    def test_quantized_stack(self):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.uniform(-1, 1, (70, 3)).astype(np.float32))
+        ls = jnp.asarray(rng.uniform(0.5, 1.5, (2, 1, 3)).astype(np.float32))
+        got = pk.quantized_kernel_stack(x, x, ls, "matern25", interpret=True)
+        assert got.dtype == jnp.int8
+        want = pk.xla_kernel_matrix(x, x, ls, "matern25")
+        recon = got.astype(jnp.float32) / 127.0
+        # fast-exp (2e-5) + int8 rounding (1/254): absolute error < 1/127
+        np.testing.assert_allclose(np.asarray(recon), np.asarray(want),
+                                   atol=1.01 / 254)
 
     def test_lowrank_reduce(self):
         rng = np.random.default_rng(1)
