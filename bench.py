@@ -191,9 +191,12 @@ def bench_exact_lmc(n=10000, T=7, q=4, seed=0, steps=8, reps=2):
                 # fused PCG+Lanczos-quadrature MLL (quad_method='pcg'): one
                 # preconditioned CG pass yields solves AND the logdet; the
                 # kernel stack lives in bfloat16 end-to-end (fp32 accumulation,
-                # solves/reductions fp32). Loss trajectory identical to the
-                # fp32 SLQ path to 4 decimals over 24 steps; ~57% faster than
-                # the round-1 CG+SLQ configuration at n=10k.
+                # solves/reductions fp32). Trajectory vs the tight fp32 SLQ
+                # path: measured 50-step overlay on structured data in
+                # results/trajectory_overlay.json (mean rel gap ~3.5%,
+                # diverging toward the tail per the bf16 precision floor —
+                # results/PERF_NOTES.md). ~57% faster than the round-1
+                # CG+SLQ configuration at n=10k.
                 return -combine(pp, static).mll(key=sub, max_cg_iters=16,
                                                 cg_tol=2e-2, matvec_bf16=True,
                                                 precond_rank=256, num_probes=8,

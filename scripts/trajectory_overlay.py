@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Loss-trajectory overlay: bench estimator vs fp32 SLQ (BASELINE.json
+"matched MLL/ELBO trajectories" evidence).
+
+Trains the SAME exact-LMC model (bench headline shapes: n=10k, T=7, q=4,
+Matern, AdamW 1e-2) for 50 steps under
+
+  * the BENCH estimator — fused PCG+Lanczos quadrature, bf16 kernel stack,
+    16 CG iterations at tol 2e-2, rank-256 Nyström preconditioner, 8 probes,
+    roots refreshed once per 10-step scan chunk (exactly bench.py's config);
+  * a TIGHT fp32 reference — separate-pass SLQ estimator (quad_method='slq'),
+    fp32 stack, 128 CG iterations at tol 1e-6, 30 Lanczos steps, 10 probes;
+
+with identical data and PRNG stream, and writes both loss trajectories plus
+gap statistics to results/trajectory_overlay.json. A final exact yardstick
+(dense-free, 400-iteration fp32 PCG at tol 1e-10) evaluates BOTH end-point
+parameter sets on the same key so end-of-training quality is comparable.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(n=10000, T=7, q=4, d=4, steps=50, chunk=10, seed=0,
+         out="results/trajectory_overlay.json"):
+    from projected_lmc_tpu.utils.tpu import ensure_tpu
+    ensure_tpu()
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from projected_lmc_tpu.models.multitask import MultitaskGPModel
+    from projected_lmc_tpu.likelihoods import MultitaskGaussianLikelihood
+    from projected_lmc_tpu.module import trainable_mask, partition, combine
+
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(-1, 1, (n, d)).astype(np.float32)
+    # structured targets (latent smooth functions mixed by a random H) so the
+    # loss genuinely descends over the window
+    U = np.stack([np.sin(2.0 * X @ w) for w in
+                  rng.standard_normal((q, d))], axis=1)
+    H = rng.standard_normal((q, T))
+    Y = (U @ H + 0.1 * rng.standard_normal((n, T))).astype(np.float32)
+
+    def make_state():
+        lik = MultitaskGaussianLikelihood(num_tasks=T, rank=0)
+        model = MultitaskGPModel(X, Y, lik, n_tasks=T, n_latents=q,
+                                 model_type="LMC", kernel_type="matern",
+                                 mean_type="zero", fix_diagonal=True)
+        mask = trainable_mask(model)
+        params, static = partition(model, mask)
+        tx = optax.adamw(1e-2)
+        return params, static, tx, tx.init(params)
+
+    def run(mll_kwargs, stale_roots_rank=None):
+        params, static, tx, opt = make_state()
+        key = jax.random.PRNGKey(seed)
+
+        @jax.jit
+        def chunk_steps(p, o, k):
+            kw = dict(mll_kwargs)
+            if stale_roots_rank:
+                roots = jax.lax.stop_gradient(
+                    combine(p, static)._precond_roots(
+                        combine(p, static).train_x, stale_roots_rank))
+                kw["precond_roots"] = roots
+
+            def body(c, _):
+                pp, oo, kk = c
+                kk, sub = jax.random.split(kk)
+                loss, g = jax.value_and_grad(
+                    lambda v: -combine(v, static).mll(key=sub, **kw))(pp)
+                up, oo = tx.update(g, oo, pp)
+                return (optax.apply_updates(pp, up), oo, kk), loss
+
+            (p, o, k), losses = jax.lax.scan(body, (p, o, k), None,
+                                             length=chunk)
+            return p, o, k, losses
+
+        traj = []
+        for _ in range(steps // chunk):
+            params, opt, key, losses = chunk_steps(params, opt, key)
+            traj.extend(np.asarray(losses).tolist())
+        return params, static, traj
+
+    bench_kwargs = dict(iterative=True, max_cg_iters=16, cg_tol=2e-2,
+                        matvec_bf16=True, precond_rank=256, num_probes=8)
+    slq_kwargs = dict(iterative=True, quad_method="slq", max_cg_iters=128,
+                      cg_tol=1e-6, slq_steps=30, precond_rank=256,
+                      num_probes=10)
+
+    p_b, static_b, traj_b = run(bench_kwargs, stale_roots_rank=256)
+    p_s, static_s, traj_s = run(slq_kwargs)
+
+    # common tight yardstick on both endpoints (each with its own static —
+    # constraint objects compare by identity in the pytree aux data)
+    import jax.random as jr
+    yard = dict(iterative=True, max_cg_iters=400, cg_tol=1e-10,
+                precond_rank=256, num_probes=8)
+    key_y = jr.PRNGKey(777)
+    final_b = float(combine(p_b, static_b).mll(key=key_y, **yard))
+    final_s = float(combine(p_s, static_s).mll(key=key_y, **yard))
+
+    tb, ts = np.asarray(traj_b), np.asarray(traj_s)
+    scale = np.maximum(np.abs(ts), 1e-10)
+    rel_gap = np.abs(tb - ts) / scale
+    result = {
+        "config": dict(n=n, T=T, q=q, d=d, steps=steps, seed=seed,
+                       bench=bench_kwargs, slq_ref=slq_kwargs),
+        "loss_bench": traj_b,
+        "loss_slq_fp32": traj_s,
+        "max_rel_gap": float(rel_gap.max()),
+        "mean_rel_gap": float(rel_gap.mean()),
+        "final_exact_mll_bench_params": final_b,
+        "final_exact_mll_slq_params": final_s,
+    }
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: v for k, v in result.items()
+                      if not k.startswith("loss_")}, indent=1))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
