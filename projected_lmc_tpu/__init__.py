@@ -22,7 +22,8 @@ from .ops import (safe_cholesky, init_lmc_coefficients, latin_hypercube, sobol)
 from .models import (ExactGPModel, MultitaskGPModel, VariationalMultitaskGPModel,
                      ProjectedGPModel, LMCMixingMatrix)
 from .mlls import exact_mll, projected_lmc_mll, loo_pseudo_likelihood
-from .training import fit, lambda_lr_schedule, exponential_schedule
+from .training import (fit, fit_two_phase, fit_svgp_minibatch,
+                       lambda_lr_schedule, exponential_schedule)
 from .metrics import compute_metrics
 
 # reference-compatible aliases (projected_lmc.py:107, :1158)

@@ -231,6 +231,52 @@ def fit(model, loss_fn: Callable = None, n_iter: int = 10000, lr: float = 1e-2,
     return trained, info
 
 
+def fit_two_phase(model, coarse_loss_fn, fine_loss_fn, n_iter: int = 10000,
+                  fine_frac: float = 0.25, lr: float = 1e-2,
+                  fine_lr: float = None, **kwargs):
+    """Precision-escalated training: descend with a cheap low-precision MLL,
+    then refine with the full-precision one.
+
+    Motivation (results/PERF_NOTES.md "precision floor"): bf16/int8 CG
+    matvecs train as if an extra jitter of ~‖K‖·4e-3 / ~8e-3 were added to
+    the likelihood — fast and accurate while the loss is descending, but
+    systematically biased once the learned noise approaches that scale. The
+    two-phase schedule gets the low-precision throughput for the bulk of
+    training and the fp32 optimum:
+
+        coarse = lambda m, key: m.mll(key=key, iterative=True,
+                                      max_cg_iters=16, cg_tol=2e-2,
+                                      matvec_bf16=True, precond_rank=256,
+                                      num_probes=8)
+        fine   = lambda m, key: m.mll(key=key, iterative=True,
+                                      max_cg_iters=64, cg_tol=1e-4,
+                                      precond_rank=256, num_probes=8)
+        model, info = fit_two_phase(model, coarse, fine, n_iter=50_000)
+
+    Phase 1 runs ``fit(model, coarse_loss_fn)`` for (1−fine_frac)·n_iter
+    (or until plateau); phase 2 continues from the phase-1 parameters with
+    ``fine_loss_fn`` at ``fine_lr`` (default lr/10 — the refinement starts
+    near the coarse optimum) for the remaining budget. Returns
+    (model, info) with concatenated losses, summed n_iter/train_time, and
+    per-phase sub-infos under ``info['phases']``.
+    """
+    n_coarse = int(n_iter * (1.0 - fine_frac))
+    n_fine = n_iter - n_coarse
+    model, info1 = fit(model, coarse_loss_fn, n_iter=n_coarse, lr=lr,
+                       **kwargs)
+    model, info2 = fit(model, fine_loss_fn, n_iter=n_fine,
+                       lr=fine_lr if fine_lr is not None else lr / 10.0,
+                       **kwargs)
+    info = dict(
+        n_iter=info1["n_iter"] + info2["n_iter"],
+        train_time=info1["train_time"] + info2["train_time"],
+        losses=np.concatenate([info1["losses"], info2["losses"]]),
+        loss=info2["loss"],
+        phases=[info1, info2],
+    )
+    return model, info
+
+
 def fit_svgp_minibatch(model, batch_size: int = 256, n_iter: int = 10000,
                        lr: float = 1e-2, schedule=None, weight_decay: float = 1e-2,
                        loss_thresh: float = 2.5e-6, patience: int = 500,

@@ -582,5 +582,52 @@ class TestProjected:
         assert s2.shape == (30, 2) and bool(jnp.all(s2 > 0))
 
 
+class TestTwoPhaseFit:
+    def test_two_phase_beats_coarse_only(self):
+        """fit_two_phase (bf16 descent → fp32 refine) must end at least as
+        good as the same budget spent purely on the bf16 estimator, judged
+        by a common tight fp32 yardstick (the precision-floor experiment,
+        results/PERF_NOTES.md, scaled down)."""
+        from projected_lmc_tpu.training import fit, fit_two_phase
+        rng = np.random.default_rng(0)
+        n, t, q, d = 256, 5, 2, 3
+        X = rng.uniform(-1, 1, (n, d)).astype(np.float32)
+        U = np.stack([np.sin(2.0 * X @ w) for w in
+                      rng.standard_normal((q, d))], 1)
+        H = rng.standard_normal((q, t))
+        Y = (U @ H + 0.1 * rng.standard_normal((n, t))).astype(np.float32)
+
+        def make():
+            lik = pl.MultitaskGaussianLikelihood(num_tasks=t, rank=0)
+            return pl.MultitaskGPModel(X, Y, lik, n_tasks=t, n_latents=q,
+                                       model_type="LMC", kernel_type="matern",
+                                       mean_type="zero", fix_diagonal=True)
+
+        coarse = lambda m, key: m.mll(key=key, iterative=True,
+                                      max_cg_iters=16, cg_tol=2e-2,
+                                      matvec_bf16=True, precond_rank=32,
+                                      num_probes=4)
+        fine = lambda m, key: m.mll(key=key, iterative=True, max_cg_iters=64,
+                                    cg_tol=1e-5, precond_rank=32,
+                                    num_probes=4)
+        budget = 160
+        kw = dict(lr=2e-2, patience=10_000, scan_steps=16)
+        # same seed ⇒ the coarse-only run over n_coarse steps IS phase 1
+        m_phase1, _ = fit(make(), coarse, n_iter=budget // 2, **kw)
+        m_two, info = fit_two_phase(make(), coarse, fine, n_iter=budget,
+                                    fine_frac=0.5, **kw)
+        assert len(info["phases"]) == 2
+        assert len(info["losses"]) >= budget - 2 * 16  # scan-chunk rounding
+
+        yard = dict(iterative=True, max_cg_iters=400, cg_tol=1e-10,
+                    precond_rank=64, num_probes=4,
+                    key=jax.random.PRNGKey(7))
+        mll_phase1 = float(m_phase1.mll(**yard))
+        mll_two = float(m_two.mll(**yard))
+        # the fp32 refinement must improve on the phase-1 endpoint (the
+        # full floor comparison needs hundreds of steps — PERF_NOTES.md)
+        assert mll_two > mll_phase1, (mll_two, mll_phase1)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
