@@ -136,19 +136,17 @@ def _fused_bwd(kind, max_cg_iters, cg_tol, matvec_bf16, precond_rank,
     R3 = jnp.concatenate([Ah[None], WH, ZH], axis=0)              # (1+2s,n,q)
     if Ks.dtype == jnp.int8:
         # int8 stack without outputscale: quantize R3 per (probe, latent)
-        # column, contract int8×int8→int32, dequantize with os folded in
+        # column, contract int8×int8→int32 in the native stack layout,
+        # dequantize with os folded in
         rs = jnp.clip(jnp.max(jnp.abs(R3), axis=1, keepdims=True),
                       1e-30) / 127.0                              # (r, 1, q)
         Rq = jnp.clip(jnp.round(R3 / rs), -127, 127).astype(jnp.int8)
-        KRi = jnp.einsum("bij,rjb->rib", Ks, Rq,
-                         preferred_element_type=jnp.int32)
-        KR = KRi.astype(jnp.float32) * (
+        KRi = jnp.matmul(Ks, jnp.transpose(Rq, (2, 1, 0)),
+                         preferred_element_type=jnp.int32)        # (q, i, r)
+        KR = jnp.transpose(KRi, (2, 1, 0)).astype(jnp.float32) * (
             rs * (os_.astype(jnp.float32) / 127.0)[None, None, :])
-    elif Ks.dtype == jnp.bfloat16:
-        KR = jnp.einsum("bij,rjb->rib", Ks, R3.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
     else:
-        KR = jnp.einsum("bij,rjb->rib", Ks, R3, precision=_HIGHEST)
+        KR = it._stack_matmul(Ks, R3)
     KAh, KWH, KZH = KR[0], KR[1:1 + s], KR[1 + s:]
 
     dH_a = jnp.einsum("nt,nb->tb", alpha, KAh, precision=_HIGHEST)

@@ -48,23 +48,40 @@ def draw_probes(key, n, t, num_probes, dtype=jnp.float32):
     return jax.random.rademacher(key, (num_probes, n, t), dtype=dtype)
 
 
+def _stack_matmul(Ks, W):
+    """K_b @ W[..., b] for every latent, in the stack's NATIVE layout:
+    (q, n, n) batched-matmul (q, n, r) with the small RHS pre-transposed —
+    measured ~15% faster than the ``bij,rjb->rib`` einsum layout on a v5e
+    (the einsum form makes XLA stream the stack through a worse access
+    pattern; the RHS transposes are ~1 MB and fuse away).
+
+    W: (..., n, q) → returns (..., n, q) in fp32-accumulated precision.
+    """
+    single = W.ndim == 2
+    Wt = W[None] if single else W                       # (r, n, q)
+    Wq = jnp.transpose(Wt, (2, 1, 0))                   # (q, n, r)
+    if Ks.dtype == jnp.bfloat16:
+        Z = jnp.matmul(Ks, Wq.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    else:
+        Z = jnp.matmul(Ks, Wq, precision=_HIGHEST)
+    out = jnp.transpose(Z, (2, 1, 0))                   # (r, n, q)
+    return out[0] if single else out
+
+
 def lmc_matvec(Ks, H, St, V):
     """Σ · vec(V) in matrix form: Σ_b K_b (V h_b) h_bᵀ + V Σt.
 
     V: (..., n, T); Ks: (q, n, n); H: (T, q); St: (T, T).
 
     The dominant cost is streaming the (q, n, n) kernel stack from HBM for
-    the middle einsum. Pass ``Ks`` pre-cast to bfloat16 to halve that traffic
-    (accumulation stays fp32 via preferred_element_type) — CG tolerates the
-    ~1e-3 relative operator noise at the training tolerances gpytorch itself
-    uses (cg_tolerance 1.0).
+    the middle contraction (:func:`_stack_matmul`). Pass ``Ks`` pre-cast to
+    bfloat16 to halve that traffic (accumulation stays fp32 via
+    preferred_element_type) — CG tolerates the ~1e-3 relative operator noise
+    at the training tolerances gpytorch itself uses (cg_tolerance 1.0).
     """
     W = jnp.einsum("...nt,tb->...nb", V, H, precision=_HIGHEST)
-    if Ks.dtype == jnp.bfloat16:
-        Z = jnp.einsum("bij,...jb->...ib", Ks, W.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
-    else:
-        Z = jnp.einsum("bij,...jb->...ib", Ks, W, precision=_HIGHEST)
+    Z = _stack_matmul(Ks, W)
     out = jnp.einsum("...nb,tb->...nt", Z.astype(V.dtype), H, precision=_HIGHEST)
     return out + jnp.matmul(V, St, precision=_HIGHEST)
 
@@ -94,10 +111,13 @@ def lmc_matvec_int8(Kq, kscale, H, St, V):
     W = jnp.einsum("...nt,tb->...nb", V, H, precision=_HIGHEST)
     ws = jnp.clip(jnp.max(jnp.abs(W), axis=-2, keepdims=True),
                   1e-30) / 127.0                               # (..., 1, q)
-    Wq = jnp.clip(jnp.round(W / ws), -127, 127).astype(jnp.int8)
-    Zi = jnp.einsum("bij,...jb->...ib", Kq, Wq,
-                    preferred_element_type=jnp.int32)
-    Z = Zi.astype(jnp.float32) * (kscale[None, :] * ws)
+    Wq = jnp.clip(jnp.round(W / ws), -127, 127)
+    single = Wq.ndim == 2
+    Wt = (Wq[None] if single else Wq).astype(jnp.int8)          # (r, n, q)
+    Zi = jnp.matmul(Kq, jnp.transpose(Wt, (2, 1, 0)),           # native layout
+                    preferred_element_type=jnp.int32)           # (q, n, r)
+    Zl = jnp.transpose(Zi, (2, 1, 0)).astype(jnp.float32)       # (r, n, q)
+    Z = (Zl[0] if single else Zl) * (kscale[None, :] * ws)
     out = jnp.einsum("...nb,tb->...nt", Z.astype(V.dtype), H,
                      precision=_HIGHEST)
     return out + jnp.matmul(V, St, precision=_HIGHEST)
@@ -306,11 +326,7 @@ def _bwd_impl(max_cg_iters, cg_tol, slq_steps, matvec_bf16, precond_rank,
     # the stack is streamed from HBM exactly once — measured on the tunneled
     # v5e, streaming it three times was most of the backward's cost.
     R3 = jnp.concatenate([Ah[None], WH, ZH], axis=0)        # (1+2s, n, q)
-    if Ks.dtype == jnp.bfloat16:
-        KR = jnp.einsum("bij,rjb->rib", Ks, R3.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
-    else:
-        KR = jnp.einsum("bij,rjb->rib", Ks, R3, precision=_HIGHEST)
+    KR = _stack_matmul(Ks, R3)
     KAh, KWH, KZH = KR[0], KR[1:1 + s], KR[1 + s:]
     dH_a = jnp.einsum("nt,nb->tb", alpha, KAh, precision=_HIGHEST)
     dH_s = 0.5 * (jnp.einsum("snt,snb->tb", Z, KWH, precision=_HIGHEST)

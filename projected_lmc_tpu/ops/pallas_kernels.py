@@ -88,18 +88,21 @@ def _tile_kernel(kind, fast, x1_ref, x2_ref, ls_ref, out_ref):
     out_ref[0] = _profile(kind, d2, fast).astype(out_ref.dtype)
 
 
-def _dprofile(kind: str, d2):
-    """dk/d(d²) on the VPU (mirrors kernels._dprofile; libm exp — gradient
-    precision is kept fp32-grade even when the forward tiles are bf16)."""
+def _dprofile(kind: str, d2, fast: bool = False):
+    """dk/d(d²) on the VPU (mirrors kernels._dprofile). ``fast`` swaps libm
+    exp for the short exp2 sequence (rel err ~2e-5) — used in the Pallas
+    backward tile recompute, where the Hutchinson estimator's own O(25%)
+    probe noise dwarfs it and the exp is most of the pass's VPU time."""
+    exp_neg = _fast_exp_neg if fast else (lambda c: jnp.exp(-c))
     if kind == "rbf":
-        return -0.5 * jnp.exp(-0.5 * d2)
+        return -0.5 * exp_neg(0.5 * d2)
     r = jnp.sqrt(jnp.maximum(d2, 1e-30))
     if kind == "matern05":
         return jnp.where(d2 <= 1e-12, jnp.zeros_like(d2),
-                         -jnp.exp(-r) / (2.0 * r))
+                         -exp_neg(r) / (2.0 * r))
     if kind == "matern15":
-        return -1.5 * jnp.exp(-math.sqrt(3.0) * r)
-    return (-5.0 / 6.0) * (1.0 + math.sqrt(5.0) * r) * jnp.exp(-math.sqrt(5.0) * r)
+        return -1.5 * exp_neg(math.sqrt(3.0) * r)
+    return (-5.0 / 6.0) * (1.0 + math.sqrt(5.0) * r) * exp_neg(math.sqrt(5.0) * r)
 
 
 def _scaled_tile_kernel(kind, fast, x1_ref, x2_ref, ls_ref, os_ref, out_ref):
@@ -238,7 +241,7 @@ def _lowrank_vjp_tile(kind, x_row_ref, x_col_ref, ls_ref, a_ref, b_ref,
         a_ref[0], b_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
-    W = T * _dprofile(kind, d2)
+    W = T * _dprofile(kind, d2, fast=True)
     # rows carried as (1, tile, 1): a (1, tile) block over a (B, n) array
     # would put a unit block in the sublane dim (Mosaic rejects it)
     rows_t = jnp.sum(W, axis=1)[None, :, None]     # (1, tile, 1)
