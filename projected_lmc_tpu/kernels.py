@@ -96,7 +96,10 @@ def stationary_kernel_matrix(x1, x2, ls, kind, use_pallas=False,
 def _skm_fwd(x1, x2, ls, kind, use_pallas, out_dtype=None):
     mu = jax.lax.stop_gradient(jnp.mean(x1, axis=0))
     x1c, x2c = x1 - mu, x2 - mu
+    # multi-TPU routes through the XLA build: pallas_call is not
+    # automatically partitionable under pjit, the einsum build is
     if use_pallas and jax.default_backend() == "tpu" \
+            and jax.device_count() == 1 \
             and x1.dtype == jnp.float32:
         from .ops.pallas_kernels import fused_kernel_matrix
         K = fused_kernel_matrix(x1c, x2c, ls, kind, False, out_dtype)
@@ -324,8 +327,8 @@ class _StationaryKernel(Kernel):
         across the batch, so the (B, n, d) broadcast collapses to row 0."""
         if not (self.use_pallas and self._pallas_kind):
             return None
-        if jax.default_backend() != "tpu":
-            return None
+        if jax.default_backend() != "tpu" or jax.device_count() != 1:
+            return None   # pallas_call is not partitionable under pjit
         from .ops.pallas_kernels import fused_kernel_matrix
         return fused_kernel_matrix(x1[0], x2[0], self.lengthscale,
                                    self._pallas_kind, False)

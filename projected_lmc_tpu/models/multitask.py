@@ -44,7 +44,18 @@ def _fused_stationary_spec(cov, dim):
     None routes to the composed kernel→log-prob path (additive decomp,
     proper-subset active_dims, spectral-mixture, or use_pallas=False
     opt-outs). ``dim``: the input feature count — active_dims covering the
-    full range is the identity slice handle_covar emits by default."""
+    full range is the identity slice handle_covar emits by default.
+
+    Multi-TPU sessions also route composed: the fused op's pallas_call is
+    not automatically partitionable under pjit (XLA would have to
+    replicate/gather its sharded operands), whereas the composed path's
+    einsums partition cleanly over a ('data','latent') mesh — the
+    single-chip fused win is not worth breaking SPMD semantics. (On the
+    multi-device CPU test mesh the fused op lowers to pure XLA einsums —
+    no pallas_call — so the route stays on and partitions fine.)"""
+    import jax as _jax
+    if _jax.default_backend() == "tpu" and _jax.device_count() > 1:
+        return None
     from .. import kernels as kmod
     base, os_ = cov, None
     if isinstance(cov, kmod.ScaleKernel):

@@ -44,7 +44,10 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def _use_pallas(x):
-    return jax.default_backend() == "tpu" and x.dtype == jnp.float32
+    # single-TPU only: pallas_call is not automatically partitionable (the
+    # model layer already routes multi-device sessions to the composed path)
+    return (jax.default_backend() == "tpu" and jax.device_count() == 1
+            and x.dtype == jnp.float32)
 
 
 def _scaled_stack(xc, ls, os_, kind, out_dtype):
