@@ -50,9 +50,20 @@ def _use_pallas(x):
             and x.dtype == jnp.float32)
 
 
+SYM_BUILD = False   # flip after on-chip verification (Mosaic lowering can
+                    # reject programs interpret mode accepts — see the
+                    # round-2 BlockSpec findings)
+
+
 def _scaled_stack(xc, ls, os_, kind, out_dtype):
-    """os_b · K_b(xc, xc), downcast at the producer."""
+    """os_b · K_b(xc, xc), downcast at the producer. The training stack is
+    symmetric, so with SYM_BUILD the TPU path computes only the
+    lower-triangular tiles and mirrors them (pk.scaled_kernel_stack_sym) —
+    half the transcendental VPU work, the build's dominant cost at large n."""
     if _use_pallas(xc):
+        if SYM_BUILD:
+            return pk.scaled_kernel_stack_sym(xc, ls, os_, kind,
+                                              out_dtype=out_dtype)
         return pk.scaled_kernel_stack(xc, xc, ls, os_, kind, False, out_dtype)
     K = pk.xla_kernel_matrix(xc, xc, ls, kind) * os_[:, None, None]
     return K.astype(out_dtype) if out_dtype is not None else K
@@ -60,8 +71,12 @@ def _scaled_stack(xc, ls, os_, kind, out_dtype):
 
 def _lowrank_reduce(xc, ls, A, Bf, kind):
     """(rows, wx) of W = (A Bᵀ) ⊙ dprofile(d²): Pallas on TPU, dense XLA
-    reference elsewhere (small problems / CPU tests)."""
+    reference elsewhere (small problems / CPU tests). The factor
+    construction in _fused_bwd makes A Bᵀ symmetric, so the TPU path runs
+    the triangular-grid kernel — half the transcendental VPU work."""
     if _use_pallas(xc):
+        if SYM_BUILD:
+            return pk.lowrank_stationary_reduce_sym(xc, ls, A, Bf, kind)
         return pk.lowrank_stationary_reduce(xc, ls, A, Bf, kind)
     a = xc[None] / ls
     n1 = jnp.sum(a * a, axis=-1)

@@ -18,6 +18,8 @@ from __future__ import annotations
 import functools
 import math
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -220,6 +222,103 @@ def quantized_kernel_stack(x1, x2, lengthscale, kind: str,
     return out[:, :n, :m]
 
 
+def _scaled_tile_kernel_tri(kind, fast, idx_ref, x1_ref, x2_ref, ls_ref,
+                            os_ref, out_ref):
+    """Triangular-grid body of the symmetric builder: same math as
+    _scaled_tile_kernel, block indices via scalar prefetch."""
+    os_b = os_ref[pl.program_id(0), 0]
+    inv_l = 1.0 / ls_ref[0]
+    a = x1_ref[:] * inv_l
+    b = x2_ref[:] * inv_l
+    cross = jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    n1 = jnp.sum(a * a, axis=1, keepdims=True)
+    n2 = jnp.sum(b * b, axis=1, keepdims=True)
+    d2 = jnp.maximum(n1 + n2.T - 2.0 * cross, 0.0)
+    out_ref[0] = (_profile(kind, d2, fast) * os_b).astype(out_ref.dtype)
+
+
+def _mirror_tile(idx_ref, in_ref, out_ref):
+    out_ref[0] = in_ref[0].T
+
+
+def _symmetrize_lower(K, tile, interpret: bool = False):
+    """Fill the strict-upper tiles of ``K`` (B, n, n) with the transposes of
+    the already-computed strict-lower tiles, in place (aliased pallas_call —
+    unvisited blocks keep their input values). HBM cost: read + write of
+    half the stack; saves the full transcendental evaluation of that half."""
+    B, np_, _ = K.shape
+    nt = np_ // tile
+    up = [(i, j) for i in range(nt) for j in range(i + 1, nt)]
+    if not up:
+        return K
+    idx = jnp.asarray(np.array(up, dtype=np.int32).T)      # (2, T_up)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, len(up)),
+        in_specs=[pl.BlockSpec((1, tile, tile),
+                               lambda b, t, idx: (b, idx[1, t], idx[0, t]),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, tile, tile),
+                               lambda b, t, idx: (b, idx[0, t], idx[1, t]),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _mirror_tile,
+        out_shape=jax.ShapeDtypeStruct(K.shape, K.dtype),
+        grid_spec=grid_spec,
+        input_output_aliases={1: 0},   # K (operand 1 after the prefetch) -> out
+        interpret=interpret,
+    )(idx, K)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "out_dtype", "interpret"))
+def scaled_kernel_stack_sym(x, lengthscale, outputscale, kind: str,
+                            out_dtype=None, interpret: bool = False):
+    """Symmetric-case :func:`scaled_kernel_stack` (x1 ≡ x2): evaluates only
+    the lower-triangular tiles (half the transcendental VPU work — the
+    dominant cost of the build at large n) and mirrors them into the upper
+    half with an in-place aliased transpose pass. TPU only."""
+    n, d = x.shape
+    B = lengthscale.shape[0]
+    tile = _pick_tile(n, n)
+    pad = (-n) % tile
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    np_ = n + pad
+    nt = np_ // tile
+    fast = out_dtype == jnp.bfloat16
+    tri = [(i, j) for i in range(nt) for j in range(i + 1)]
+    idx = jnp.asarray(np.array(tri, dtype=np.int32).T)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, len(tri)),
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda b, t, idx: (idx[0, t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda b, t, idx: (idx[1, t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda b, t, idx: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda b, t, idx: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, tile),
+                               lambda b, t, idx: (b, idx[0, t], idx[1, t]),
+                               memory_space=pltpu.VMEM),
+    )
+    Klow = pl.pallas_call(
+        functools.partial(_scaled_tile_kernel_tri, kind, fast),
+        out_shape=jax.ShapeDtypeStruct((B, np_, np_),
+                                       out_dtype or x.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(idx, xp, xp, lengthscale, outputscale.reshape(B, 1))
+    K = _symmetrize_lower(Klow, tile, interpret=interpret)
+    return K[:, :n, :n]
+
+
 def _lowrank_vjp_tile(kind, x_row_ref, x_col_ref, ls_ref, a_ref, b_ref,
                       rows_ref, wx_ref):
     """One (tile × tile) block of the SYMMETRIC low-rank kernel-cotangent
@@ -302,6 +401,128 @@ def lowrank_stationary_reduce(x, lengthscale, A, Bf, kind: str,
         interpret=interpret,
     )(xp, xp, lengthscale, Ap, Bp)
     return rows[:, :n, 0], wx[:, :n]
+
+
+def _lowrank_vjp_tile_sym(kind, idx_ref, x_row_ref, x_col_ref, ls_ref,
+                          a_ref, b_ref, rows1_ref, wx1_ref, rows2_ref,
+                          wx2_ref):
+    """Triangular-grid variant of :func:`_lowrank_vjp_tile` for SYMMETRIC
+    cotangents W = Wᵀ (the fused MLL's dK is symmetric by construction):
+    only tiles with i ≥ j are evaluated — the dprofile/transcendental pass,
+    the dominant VPU cost of the backward, runs on half the entries. Each
+    strict-lower tile contributes its row reduction to output block i
+    (rows1/wx1) and, via symmetry, its column reduction to output block j
+    (rows2/wx2); the caller adds the two accumulator pairs. rows2/wx2 are
+    zero-initialized on the diagonal tile (the first visit of every
+    j-block in the row-major triangular order)."""
+    t = pl.program_id(1)
+    i = idx_ref[0, t]
+    j = idx_ref[1, t]
+    inv_l = 1.0 / ls_ref[0]
+    a = x_row_ref[:] * inv_l
+    b = x_col_ref[:] * inv_l
+    cross = jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    n1 = jnp.sum(a * a, axis=1, keepdims=True)
+    n2 = jnp.sum(b * b, axis=1, keepdims=True)
+    d2 = jnp.maximum(n1 + n2.T - 2.0 * cross, 0.0)
+    T = jax.lax.dot_general(
+        a_ref[0], b_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    W = T * _dprofile(kind, d2, fast=True)
+    rows_t = jnp.sum(W, axis=1)[None, :, None]     # (1, tile, 1)
+    wx_t = jax.lax.dot_general(
+        W, x_col_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)[None]
+
+    @pl.when(j == 0)
+    def _init1():
+        rows1_ref[...] = rows_t
+        wx1_ref[...] = wx_t
+
+    @pl.when(j != 0)
+    def _acc1():
+        rows1_ref[...] += rows_t
+        wx1_ref[...] += wx_t
+
+    @pl.when(i == j)
+    def _init2():
+        rows2_ref[...] = jnp.zeros_like(rows2_ref)
+        wx2_ref[...] = jnp.zeros_like(wx2_ref)
+
+    @pl.when(i != j)
+    def _acc2():
+        cols_t = jnp.sum(W, axis=0)[None, :, None]
+        wxc_t = jax.lax.dot_general(                # Wᵀ @ x_i, (tile, d)
+            W, x_row_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)[None]
+        rows2_ref[...] += cols_t
+        wx2_ref[...] += wxc_t
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "interpret"))
+def lowrank_stationary_reduce_sym(x, lengthscale, A, Bf, kind: str,
+                                  interpret: bool = False):
+    """:func:`lowrank_stationary_reduce` for SYMMETRIC cotangents
+    (A Bᵀ = B Aᵀ — true for the fused MLL's factor construction): evaluates
+    only the lower-triangular tiles, ~2× less transcendental VPU work. The
+    two accumulator pairs merge with one tiny (B, n) + (B, n, d) add."""
+    n, d = x.shape
+    B, _, r = A.shape
+    tile = _pick_tile(n, n)
+    pad = (-n) % tile
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    Ap = jnp.pad(A, ((0, 0), (0, pad), (0, 0)))
+    Bp = jnp.pad(Bf, ((0, 0), (0, pad), (0, 0)))
+    np_ = n + pad
+    nt = np_ // tile
+    tri = [(i, j) for i in range(nt) for j in range(i + 1)]
+    idx = jnp.asarray(np.array(tri, dtype=np.int32).T)     # (2, T_tri)
+    grid = (B, len(tri))
+    out_shapes = (jax.ShapeDtypeStruct((B, np_, 1), jnp.float32),
+                  jax.ShapeDtypeStruct((B, np_, d), jnp.float32),
+                  jax.ShapeDtypeStruct((B, np_, 1), jnp.float32),
+                  jax.ShapeDtypeStruct((B, np_, d), jnp.float32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda b, t, idx: (idx[0, t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda b, t, idx: (idx[1, t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda b, t, idx: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, r), lambda b, t, idx: (b, idx[0, t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, r), lambda b, t, idx: (b, idx[1, t], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, 1), lambda b, t, idx: (b, idx[0, t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, d), lambda b, t, idx: (b, idx[0, t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda b, t, idx: (b, idx[1, t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, d), lambda b, t, idx: (b, idx[1, t], 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    rows1, wx1, rows2, wx2 = pl.pallas_call(
+        functools.partial(_lowrank_vjp_tile_sym, kind),
+        out_shape=out_shapes,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(idx, xp, xp, lengthscale, Ap, Bp)
+    rows = (rows1 + rows2)[:, :n, 0]
+    wx = (wx1 + wx2)[:, :n]
+    return rows, wx
 
 
 def xla_kernel_matrix(x1, x2, lengthscale, kind: str = "matern25"):

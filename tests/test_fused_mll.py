@@ -223,6 +223,42 @@ class TestPallasInterpret:
         np.testing.assert_allclose(np.asarray(recon), np.asarray(want),
                                    atol=1.01 / 254)
 
+    def test_scaled_stack_sym(self):
+        """Triangular-grid symmetric builder (+ aliased mirror pass) ==
+        dense reference, across tile-boundary sizes."""
+        rng = np.random.default_rng(3)
+        for n in (70, 300):
+            x = jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32))
+            ls = jnp.asarray(rng.uniform(0.5, 1.5, (2, 1, 3))
+                             .astype(np.float32))
+            os_ = jnp.asarray(np.float32([0.7, 1.9]))
+            got = pk.scaled_kernel_stack_sym(x, ls, os_, "matern25",
+                                             interpret=True)
+            want = pk.xla_kernel_matrix(x, x, ls, "matern25") \
+                * os_[:, None, None]
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-5, atol=2e-6)
+
+    def test_lowrank_reduce_sym_matches_full(self):
+        """Triangular-grid symmetric reduce == full-grid reduce on a
+        symmetric low-rank cotangent (the fused backward's construction)."""
+        rng = np.random.default_rng(4)
+        n, d, B, r2 = 90, 2, 3, 3
+        x = jnp.asarray(rng.uniform(-1, 1, (n, d)).astype(np.float32))
+        ls = jnp.asarray(rng.uniform(0.5, 1.5, (B, 1, d)).astype(np.float32))
+        U = rng.standard_normal((B, n, r2)).astype(np.float32)
+        V = rng.standard_normal((B, n, r2)).astype(np.float32)
+        A = jnp.asarray(np.concatenate([U, V], -1))
+        Bf = jnp.asarray(np.concatenate([V, U], -1))   # A Bfᵀ symmetric
+        rows_s, wx_s = pk.lowrank_stationary_reduce_sym(
+            x, ls, A, Bf, "matern25", interpret=True)
+        rows_f, wx_f = pk.lowrank_stationary_reduce(
+            x, ls, A, Bf, "matern25", interpret=True)
+        np.testing.assert_allclose(np.asarray(rows_s), np.asarray(rows_f),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(wx_s), np.asarray(wx_f),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_lowrank_reduce(self):
         rng = np.random.default_rng(1)
         n, d, B, r = 90, 2, 3, 5
