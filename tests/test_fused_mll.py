@@ -179,6 +179,40 @@ class TestInt8Matvec:
                                  + 1e-30))
             assert cos > thresholds[name], (name, cos)
 
+    def test_int8_matvec_single_rhs(self):
+        """The 2-D (single-RHS) branch of lmc_matvec_int8 equals the batched
+        branch's row."""
+        x, ls, os_, H, St, Y, eps, xi, rank = make_problem(n=64)
+        Ks = kmod.stationary_kernel_matrix(x, x, ls, "matern25", False,
+                                           None) * os_[:, None, None]
+        Kq, ks = it.quantize_stack_int8(Ks)
+        single = it.lmc_matvec_int8(Kq, ks, H, St, Y)
+        batched = it.lmc_matvec_int8(Kq, ks, H, St, Y[None])[0]
+        np.testing.assert_allclose(np.asarray(single), np.asarray(batched),
+                                   rtol=1e-6, atol=1e-8)
+
+    def test_model_int8_composed_route(self):
+        """matvec_int8 through the composed (use_pallas=False) model route —
+        quantize-on-the-fly from the built stack."""
+        from projected_lmc_tpu.models.multitask import MultitaskGPModel
+        rng = np.random.default_rng(6)
+        n, t, q = 48, 4, 2
+        X = rng.uniform(-1, 1, (n, 3))
+        Y = rng.standard_normal((n, t))
+        m = MultitaskGPModel(X, Y, n_tasks=t, n_latents=q, model_type="LMC",
+                             kernel_type="matern", fix_diagonal=True, seed=0)
+        m = m.replace(covar_module=m.covar_module.replace(use_pallas=False))
+        base = dict(key=jax.random.PRNGKey(0), iterative=True,
+                    max_cg_iters=32, cg_tol=1e-3, precond_rank=16,
+                    num_probes=4)
+        v_ref = float(m.mll(**base))
+        v_q = float(m.mll(matvec_int8=True, **base))
+        np.testing.assert_allclose(v_q, v_ref, rtol=2e-2)
+        g = jax.grad(lambda raw: m.replace(
+            covar_module=m.covar_module.replace(raw_lengthscale=raw)
+        ).mll(matvec_int8=True, **base))(m.covar_module.raw_lengthscale)
+        assert np.all(np.isfinite(np.asarray(g)))
+
     def test_model_int8_route(self):
         """MultitaskGPModel LMC with matvec_int8 stays close to the exact
         composed route at training tolerances."""
