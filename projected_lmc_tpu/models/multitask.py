@@ -259,6 +259,9 @@ class MultitaskGPModel(Module):
     # the same regime where gpytorch switches from Cholesky to CG+Lanczos
     # (max_cholesky_size, experiments.py:306).
     DENSE_QN_MAX = 4096
+    # ICM's dense path costs ONE n×n factorization (not q of them), so its
+    # matrix-free switchover sits higher than the LMC q·n threshold
+    ICM_DENSE_N_MAX = 8192
 
     def mll(self, x=None, y=None, key=None, iterative: bool = None,
             num_probes: int = 10, max_cg_iters: int = 256,
@@ -310,8 +313,39 @@ class MultitaskGPModel(Module):
                 + titsias
             return (ll + self.covar_module.prior_log_prob()) / (n * self.n_tasks)
         if self.model_type == "ICM":
-            K = self.covar_module(x)[0]
             B = self.task_covar_matrix()
+            icm_iterative = (n > self.ICM_DENSE_N_MAX if iterative is None
+                             else iterative)
+            if icm_iterative and precond_rank > 0:
+                # matrix-free large-n ICM: one (n, n) kernel stream per CG
+                # matvec regardless of task count, preconditioner factored
+                # per task-eigenvalue (ops/iterative.icm_pcg_log_prob) —
+                # the regime the dense joint-diagonalization path cannot
+                # reach (an n×n Cholesky at n=44k is ~7.7 GB fp32 for the
+                # factor alone, before its O(n³) time)
+                if key is None:
+                    key = jax.random.PRNGKey(0)
+                k1, k2 = jax.random.split(key)
+                m_rank = min(precond_rank, n)
+                eps = jax.random.normal(
+                    k1, (num_probes, n, self.n_tasks), Ydelta.dtype)
+                xi = jax.random.normal(
+                    k2, (num_probes, m_rank, self.n_tasks), Ydelta.dtype)
+                roots = (precond_roots if precond_roots is not None
+                         else self._precond_roots(x, precond_rank)[0])
+                if matvec_bf16 and getattr(self.covar_module,
+                                           "_pallas_kind", None):
+                    K = self.covar_module(x, out_dtype=jnp.bfloat16)[0]
+                elif matvec_bf16:
+                    K = self.covar_module(x)[0].astype(jnp.bfloat16)
+                else:
+                    K = self.covar_module(x)[0]
+                ll = it_ops.icm_pcg_log_prob(
+                    K, B, Sigma_t, Ydelta, eps, xi, roots, max_cg_iters,
+                    cg_tol, matvec_bf16, m_rank)
+                return (ll + self.covar_module.prior_log_prob()) \
+                    / (n * self.n_tasks)
+            K = self.covar_module(x)[0]
             # batched-Cholesky variant: exact same MLL, one t×t eigh instead
             # of the n×n eigh (the training hot path; see icm_log_prob_chol)
             ll = kron_ops.icm_log_prob_chol(K, B, Sigma_t, Ydelta)

@@ -587,6 +587,158 @@ def _pcg_bwd_impl(max_cg_iters, cg_tol, matvec_bf16, precond_rank,
 lmc_pcg_log_prob.defvjp(_pcg_fwd_impl, _pcg_bwd_impl)
 
 
+# ---------------------------------------------------------------------------
+# Matrix-free exact ICM (Σ = K ⊗ B + I ⊗ Σt) — the large-n training path the
+# dense joint-diagonalization solver (ops/kron.py) cannot reach: ICM shares
+# ONE data kernel across tasks, so the matvec streams a single (n, n) matrix
+# regardless of the task count, and the Nyström preconditioner factors per
+# task-eigenvalue. Reference ICM training (projected_lmc.py:586-589 with a
+# MultitaskKernel) delegates the same regime to gpytorch's CG+Lanczos.
+# ---------------------------------------------------------------------------
+
+
+def icm_matvec(K, B, St, V):
+    """(K ⊗ B + I ⊗ Σt) · vec(V) in matrix form: K V B + V Σt.
+
+    V: (..., n, t). ONE (n, n) HBM stream per apply — pass ``K`` pre-cast to
+    bfloat16 to halve it (fp32 accumulation)."""
+    if K.dtype == jnp.bfloat16:
+        KV = jnp.einsum("ij,...jt->...it", K, V.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    else:
+        KV = jnp.einsum("ij,...jt->...it", K, V, precision=_HIGHEST)
+    return (jnp.matmul(KV.astype(V.dtype), B, precision=_HIGHEST)
+            + jnp.matmul(V, St, precision=_HIGHEST))
+
+
+def _icm_nystrom_parts(K, B, St, rank: int, roots=None):
+    """Preconditioner M = Q ⊗ B + I ⊗ Σt with Q = R Rᵀ (rank-m Nyström root
+    of K): factored in the Σt-whitened task eigenbasis. With
+    B̃ = Lt⁻¹ B Lt⁻ᵀ = Vb Γ Vbᵀ and P = Lt Vb,
+
+        M = (I ⊗ P) · blockdiag_j(γ_j Q + I_n) · (I ⊗ Pᵀ)
+
+    so the apply is t independent rank-m Woodbury solves and
+    logdet M = n·logdet Σt + Σ_j logdet(I_m + γ_j RᵀR)."""
+    n = K.shape[-1]
+    if roots is None:
+        roots = nystrom_roots_from_kernels(K[None], rank)[0]     # (n, m)
+    R = roots
+    m = R.shape[-1]
+    t = St.shape[-1]
+    Lt = jnp.linalg.cholesky(St)
+    Lt_inv = jax.scipy.linalg.solve_triangular(
+        Lt, jnp.eye(t, dtype=St.dtype), lower=True)
+    Btil = Lt_inv @ B @ Lt_inv.T
+    gam, Vb = jnp.linalg.eigh(0.5 * (Btil + Btil.T))
+    gam = jnp.clip(gam, 0.0)                                     # B ⪰ 0
+    P = Lt @ Vb                                                  # (t, t)
+    P_inv = Vb.T @ Lt_inv
+    G = jnp.matmul(R.T, R, precision=_HIGHEST)                   # (m, m)
+    eye_m = jnp.eye(m, dtype=K.dtype)
+    C = eye_m[None] + gam[:, None, None] * G[None]               # (t, m, m)
+    L_C = jnp.linalg.cholesky(C)
+    C_inv = jax.scipy.linalg.cho_solve(
+        (L_C, True), jnp.broadcast_to(eye_m, C.shape))
+    logdet_M = (2.0 * n * jnp.sum(jnp.log(jnp.diagonal(Lt)))
+                + 2.0 * jnp.sum(jnp.log(
+                    jnp.diagonal(L_C, axis1=-2, axis2=-1))))
+
+    def minv(V):                                                 # (..., n, t)
+        W2 = jnp.matmul(V, P_inv.T, precision=_HIGHEST)          # eigenbasis
+        RtW = jnp.einsum("nm,...nj->...mj", R, W2, precision=_HIGHEST)
+        S = jnp.einsum("jmk,...kj->...mj", C_inv, RtW, precision=_HIGHEST)
+        corr = jnp.einsum("nm,...mj->...nj", R, S * gam[None, :],
+                          precision=_HIGHEST)
+        return jnp.matmul(W2 - corr, P_inv, precision=_HIGHEST)
+
+    return R, P, gam, minv, logdet_M
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def icm_pcg_log_prob(K, B, St, Ydelta, eps, xi, roots=None,
+                     max_cg_iters: int = 32, cg_tol: float = 1e-2,
+                     matvec_bf16: bool = False, precond_rank: int = 256):
+    """log N(vec(Y); 0, K ⊗ B + I ⊗ Σt) from ONE batched PCG pass —
+    :func:`lmc_pcg_log_prob`'s estimator specialized to the ICM structure.
+
+    K (n, n) data kernel, B (t, t) PSD task covariance, Σt (t, t) noise,
+    Ydelta (n, t); eps (s, n, t), xi (s, m, t) standard normal (m =
+    ``precond_rank``). Probes z = (eps + R·(ξ·√γ))·Pᵀ have covariance
+    exactly M; the logdet splits as logdet M + Lanczos quadrature on the
+    preconditioned tridiagonals, both from the same CG coefficients."""
+    ll, _ = _icm_pcg_fwd(K, B, St, Ydelta, eps, xi, roots, max_cg_iters,
+                         cg_tol, matvec_bf16, precond_rank)
+    return ll
+
+
+def _icm_pcg_fwd(K, B, St, Ydelta, eps, xi, roots, max_cg_iters, cg_tol,
+                 matvec_bf16, precond_rank):
+    n, t = Ydelta.shape
+    R, P, gam, minv, logdet_M = _icm_nystrom_parts(
+        K, B, St, precond_rank,
+        roots=jax.lax.stop_gradient(roots) if roots is not None else None)
+    u = eps + jnp.einsum("nm,smj->snj", R,
+                         xi * jnp.sqrt(gam)[None, None, :],
+                         precision=_HIGHEST)
+    z = jnp.matmul(u, P.T, precision=_HIGHEST)
+    Kmv = K.astype(jnp.bfloat16) if matvec_bf16 else K
+    matvec = lambda V: icm_matvec(Kmv, B, St, V)
+    Brhs = jnp.concatenate([Ydelta[None], z], axis=0)
+    X, alphas, betas, active, rz0 = pcg_with_tridiag(
+        matvec, Brhs, minv, max_cg_iters, cg_tol)
+    alpha, W = X[0], X[1:]
+    quad = jnp.sum(Ydelta * alpha)
+    logquad = _tridiag_logquad(alphas[:, 1:], betas[:, 1:], active[:, 1:])
+    logdet = logdet_M + jnp.mean(rz0[1:] * logquad)
+    ll = -0.5 * (quad + logdet + n * t * math.log(2 * math.pi))
+    Ztilde = minv(z)
+    return ll, (K, B, St, alpha, W, Ztilde, eps, xi, roots)
+
+
+def _icm_pcg_bwd(max_cg_iters, cg_tol, matvec_bf16, precond_rank, res, g):
+    K, B, St, alpha, W, Zt, eps, xi, roots = res
+    s = max(W.shape[0], 1)
+    # G := dll/dΣ = ½(ααᵀ − Σ⁻¹), Σ⁻¹ ≈ (1/2s) Σ_i (w_i z̃_iᵀ + z̃_i w_iᵀ);
+    # a vec-outer x yᵀ contributes x B yᵀ to dK and xᵀ K y to dB.
+    aB = jnp.matmul(alpha, B, precision=_HIGHEST)                # (n, t)
+    WB = jnp.matmul(W, B, precision=_HIGHEST)                    # (s, n, t)
+    ZB = jnp.matmul(Zt, B, precision=_HIGHEST)
+    dK = (0.5 * jnp.einsum("nt,mt->nm", aB, alpha, precision=_HIGHEST)
+          - (0.25 / s) * (jnp.einsum("snt,smt->nm", WB, Zt,
+                                     precision=_HIGHEST)
+                          + jnp.einsum("snt,smt->nm", ZB, W,
+                                       precision=_HIGHEST)))
+    dK = (g * dK).astype(K.dtype)
+
+    # K streamed ONCE for dB (and the dK above never streams K at all)
+    R3 = jnp.concatenate([alpha[None], W, Zt], axis=0)           # (1+2s,n,t)
+    if K.dtype == jnp.bfloat16:
+        KR = jnp.einsum("ij,rjt->rit", K, R3.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    else:
+        KR = jnp.einsum("ij,rjt->rit", K, R3, precision=_HIGHEST)
+    Ka, KW, KZ = KR[0], KR[1:1 + s], KR[1 + s:]
+    dB = (0.5 * jnp.einsum("nt,nu->tu", alpha, Ka, precision=_HIGHEST)
+          - (0.25 / s) * (jnp.einsum("snt,snu->tu", W, KZ,
+                                     precision=_HIGHEST)
+                          + jnp.einsum("snt,snu->tu", Zt, KW,
+                                       precision=_HIGHEST)))
+    dB = g * 0.5 * (dB + dB.T)
+
+    dSt_wz = jnp.einsum("snt,snu->tu", W, Zt, precision=_HIGHEST)
+    dSt = g * 0.5 * (jnp.einsum("nt,nu->tu", alpha, alpha,
+                                precision=_HIGHEST)
+                     - 0.5 * (dSt_wz + dSt_wz.T) / s)
+    dY = -g * alpha
+    droots = None if roots is None else jnp.zeros_like(roots)
+    return (dK, dB, dSt, dY, jnp.zeros_like(eps), jnp.zeros_like(xi),
+            droots)
+
+
+icm_pcg_log_prob.defvjp(_icm_pcg_fwd, _icm_pcg_bwd)
+
+
 def residual_spectral_bound(Ks, roots, H, n_iters: int = 12, seed: int = 0):
     """Power-iteration estimate of λmax of the Nyström residual operator
     R(V) = Σ_b (K_b − R_b R_bᵀ)(V h_b) h_bᵀ — the inflation constant that

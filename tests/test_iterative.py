@@ -250,3 +250,84 @@ class TestLogProb:
         v2 = float(f(it.draw_probes(jax.random.PRNGKey(7), 25, 3, 16, Y.dtype)))
         assert np.isfinite(v1) and np.isfinite(v2)
         assert abs(v1 - v2) / abs(v1) < 5e-2
+
+
+class TestICMIterative:
+    """Matrix-free exact ICM (icm_pcg_log_prob) vs the dense
+    joint-diagonalization oracle (ops/kron.icm_log_prob_chol)."""
+
+    @staticmethod
+    def _problem(n=48, t=4, seed=0):
+        rng = np.random.default_rng(seed)
+        X = rng.uniform(-1, 1, (n, 2))
+        d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+        K = jnp.asarray(np.exp(-d2 / (2 * 0.6 ** 2)), jnp.float64)
+        F = rng.standard_normal((t, 2))
+        B = jnp.asarray(F @ F.T + 0.2 * np.eye(t), jnp.float64)
+        A = rng.standard_normal((t, t)) * 0.1
+        St = jnp.asarray(A @ A.T + 0.4 * np.eye(t), jnp.float64)
+        Y = jnp.asarray(rng.standard_normal((n, t)), jnp.float64)
+        return K, B, St, Y
+
+    def test_matvec_matches_dense(self):
+        K, B, St, Y = self._problem()
+        n, t = Y.shape
+        Sigma = (np.kron(np.asarray(K), np.asarray(B))
+                 + np.kron(np.eye(n), np.asarray(St)))
+        want = (Sigma @ np.asarray(Y).reshape(-1)).reshape(n, t)
+        got = np.asarray(it.icm_matvec(K, B, St, Y))
+        np.testing.assert_allclose(got, want, rtol=1e-10)
+
+    def test_value_matches_dense(self):
+        from projected_lmc_tpu.ops import kron as kron_ops
+        K, B, St, Y = self._problem()
+        n, t = Y.shape
+        ll_dense = float(kron_ops.icm_log_prob_chol(K, B, St, Y))
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        s, rank = 8, 32
+        eps = jax.random.normal(k1, (s, n, t), Y.dtype)
+        xi = jax.random.normal(k2, (s, rank, t), Y.dtype)
+        ll = float(it.icm_pcg_log_prob(K, B, St, Y, eps, xi, None,
+                                       80, 1e-10, False, rank))
+        assert abs(ll - ll_dense) / abs(ll_dense) < 2e-2, (ll, ll_dense)
+
+    def test_gradients_match_dense(self):
+        from projected_lmc_tpu.ops import kron as kron_ops
+        K, B, St, Y = self._problem(n=30, t=3, seed=1)
+        n, t = Y.shape
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        s, rank = 512, 16
+        eps = jax.random.normal(k1, (s, n, t), Y.dtype)
+        xi = jax.random.normal(k2, (s, rank, t), Y.dtype)
+        g_dense = jax.grad(kron_ops.icm_log_prob_chol,
+                           argnums=(0, 1, 2, 3))(K, B, St, Y)
+        g_it = jax.grad(
+            lambda k, b, st, y: it.icm_pcg_log_prob(
+                k, b, st, y, eps, xi, None, 200, 1e-10, False, rank),
+            argnums=(0, 1, 2, 3))(K, B, St, Y)
+        np.testing.assert_allclose(np.asarray(g_it[3]),
+                                   np.asarray(g_dense[3]), atol=1e-6)
+        for a, b, name, tol in [(g_it[0], g_dense[0], "dK", 0.15),
+                                (g_it[1], g_dense[1], "dB", 0.15),
+                                (g_it[2], g_dense[2], "dSt", 0.15)]:
+            a, b = np.asarray(a), np.asarray(b)
+            err = np.abs(a - b).max() / np.abs(b).max()
+            assert err < tol, (name, err)
+
+    def test_model_routes_large_n_icm(self):
+        """MultitaskGPModel ICM with iterative=True routes to the PCG path
+        and stays close to the dense MLL; jit-compiles."""
+        from projected_lmc_tpu.models.multitask import MultitaskGPModel
+        from projected_lmc_tpu.likelihoods import MultitaskGaussianLikelihood
+        rng = np.random.default_rng(3)
+        X = rng.uniform(-1, 1, (60, 2)).astype(np.float64)
+        Y = rng.standard_normal((60, 3)).astype(np.float64)
+        lik = MultitaskGaussianLikelihood(num_tasks=3, rank=0)
+        m = MultitaskGPModel(X, Y, lik, n_tasks=3, n_latents=2,
+                             model_type="ICM", kernel_type="rbf", seed=0)
+        f = jax.jit(lambda mdl, k: mdl.mll(key=k, iterative=True,
+                                           precond_rank=24, num_probes=6,
+                                           max_cg_iters=60, cg_tol=1e-9))
+        v_it = float(f(m, jax.random.PRNGKey(0)))
+        v_dense = float(m.mll(iterative=False))
+        assert abs(v_it - v_dense) / abs(v_dense) < 5e-2, (v_it, v_dense)
