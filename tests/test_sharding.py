@@ -152,6 +152,25 @@ class TestSharding:
         sharded = float(jax.jit(lambda mm: mm.mll())(ms))
         np.testing.assert_allclose(sharded, unsharded, rtol=1e-8)
 
+    def test_icm_iterative_mll_matches_unsharded(self, mesh):
+        """The matrix-free ICM PCG path (large-n exact ICM) under the mesh
+        == single-device, same probes."""
+        rng = np.random.default_rng(11)
+        n, t, q = 128, 4, 2
+        X = rng.uniform(-1, 1, (n, 2))
+        Y = rng.standard_normal((n, t))
+        lik = pl.MultitaskGaussianLikelihood(num_tasks=t, rank=0)
+        m = pl.MultitaskGPModel(X, Y, lik, n_tasks=t, n_latents=q,
+                                model_type="ICM", kernel_type="matern",
+                                seed=0)
+        key = jax.random.PRNGKey(2)
+        kw = dict(key=key, iterative=True, precond_rank=16, num_probes=4,
+                  max_cg_iters=40, cg_tol=1e-8)
+        unsharded = float(m.mll(**kw))
+        ms = shard_model(m, mesh)
+        sharded = float(jax.jit(lambda mm: mm.mll(**kw))(ms))
+        np.testing.assert_allclose(sharded, unsharded, rtol=1e-8)
+
     def test_variational_sharding(self, mesh):
         X, Y = make_data(n=48)
         m = pl.VariationalMultitaskGPModel(X, n_latents=2, n_tasks=Y.shape[1],
