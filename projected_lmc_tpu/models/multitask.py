@@ -331,8 +331,13 @@ class MultitaskGPModel(Module):
                     k1, (num_probes, n, self.n_tasks), Ydelta.dtype)
                 xi = jax.random.normal(
                     k2, (num_probes, m_rank, self.n_tasks), Ydelta.dtype)
-                roots = (precond_roots if precond_roots is not None
-                         else self._precond_roots(x, precond_rank)[0])
+                if precond_roots is not None:
+                    # accept the LMC (k, n, m) convention too (e.g. stale
+                    # roots computed once per scan chunk via _precond_roots)
+                    roots = (precond_roots[0] if precond_roots.ndim == 3
+                             else precond_roots)
+                else:
+                    roots = self._precond_roots(x, precond_rank)[0]
                 if matvec_bf16 and getattr(self.covar_module,
                                            "_pallas_kind", None):
                     K = self.covar_module(x, out_dtype=jnp.bfloat16)[0]
