@@ -32,6 +32,7 @@ op returns zeros for it.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -50,9 +51,13 @@ def _use_pallas(x):
             and x.dtype == jnp.float32)
 
 
-SYM_BUILD = False   # flip after on-chip verification (Mosaic lowering can
-                    # reject programs interpret mode accepts — see the
-                    # round-2 BlockSpec findings)
+# Symmetric triangular-grid kernels: verified on-chip (scripts/
+# verify_sym_kernels.py — Mosaic parity fp32 2e-6 / reduce 1e-7, builder
+# 1.06×, backward reduce 1.24×). The first on-chip attempt exposed a real
+# Mosaic race in the old j-indexed accumulator layout (nondeterministic wx
+# errors ~1e0 at n=10240 that interpret mode accepts) — fixed by resident
+# full-height accumulator blocks; see pallas_kernels._lowrank_vjp_tile_sym.
+SYM_BUILD = os.environ.get("PLMC_SYM_BUILD", "1") == "1"
 
 
 def _scaled_stack(xc, ls, os_, kind, out_dtype):

@@ -403,21 +403,33 @@ def lowrank_stationary_reduce(x, lengthscale, A, Bf, kind: str,
     return rows[:, :n, 0], wx[:, :n]
 
 
-def _lowrank_vjp_tile_sym(kind, idx_ref, x_row_ref, x_col_ref, ls_ref,
-                          a_ref, b_ref, rows1_ref, wx1_ref, rows2_ref,
-                          wx2_ref):
+def _lowrank_vjp_tile_sym(kind, tile, idx_ref, x_row_ref, x_col_ref, ls_ref,
+                          a_ref, b_ref, rows_ref, wx_ref):
     """Triangular-grid variant of :func:`_lowrank_vjp_tile` for SYMMETRIC
     cotangents W = Wᵀ (the fused MLL's dK is symmetric by construction):
     only tiles with i ≥ j are evaluated — the dprofile/transcendental pass,
-    the dominant VPU cost of the backward, runs on half the entries. Each
-    strict-lower tile contributes its row reduction to output block i
-    (rows1/wx1) and, via symmetry, its column reduction to output block j
-    (rows2/wx2); the caller adds the two accumulator pairs. rows2/wx2 are
-    zero-initialized on the diagonal tile (the first visit of every
-    j-block in the row-major triangular order)."""
+    the dominant VPU cost of the backward, runs on half the entries.
+
+    Accumulator layout (the part Mosaic is picky about): each batch element
+    keeps ONE full-height (n, 1)/(n, d) output block resident in VMEM for the
+    whole triangular sweep, and each tile adds its row reduction at dynamic
+    row offset i·tile and (for strict-lower tiles) its mirrored column
+    reduction at offset j·tile. An earlier variant used four per-row-block
+    accumulators with the mirrored pair's out-blocks indexed by j — those
+    blocks are revisited NON-consecutively across a row-major triangular
+    grid, and Mosaic's write-back/refetch of a revisited output window races:
+    measured nondeterministic wx errors up to ~1e0 at n=10240 on a v5e while
+    interpret mode (and small grids, sometimes) pass. Resident blocks are
+    visited consecutively by construction."""
     t = pl.program_id(1)
     i = idx_ref[0, t]
     j = idx_ref[1, t]
+
+    @pl.when(t == 0)
+    def _zero():
+        rows_ref[...] = jnp.zeros_like(rows_ref)
+        wx_ref[...] = jnp.zeros_like(wx_ref)
+
     inv_l = 1.0 / ls_ref[0]
     a = x_row_ref[:] * inv_l
     b = x_col_ref[:] * inv_l
@@ -433,36 +445,25 @@ def _lowrank_vjp_tile_sym(kind, idx_ref, x_row_ref, x_col_ref, ls_ref,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
     W = T * _dprofile(kind, d2, fast=True)
-    rows_t = jnp.sum(W, axis=1)[None, :, None]     # (1, tile, 1)
+    rows_t = jnp.sum(W, axis=1)[:, None]           # (tile, 1)
     wx_t = jax.lax.dot_general(
         W, x_col_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)[None]
-
-    @pl.when(j == 0)
-    def _init1():
-        rows1_ref[...] = rows_t
-        wx1_ref[...] = wx_t
-
-    @pl.when(j != 0)
-    def _acc1():
-        rows1_ref[...] += rows_t
-        wx1_ref[...] += wx_t
-
-    @pl.when(i == j)
-    def _init2():
-        rows2_ref[...] = jnp.zeros_like(rows2_ref)
-        wx2_ref[...] = jnp.zeros_like(wx2_ref)
+        precision=jax.lax.Precision.HIGHEST)       # (tile, d)
+    ri = pl.dslice(i * tile, tile)
+    rows_ref[0, ri, :] += rows_t
+    wx_ref[0, ri, :] += wx_t
 
     @pl.when(i != j)
-    def _acc2():
-        cols_t = jnp.sum(W, axis=0)[None, :, None]
+    def _mirror():
+        cols_t = jnp.sum(W, axis=0)[:, None]
         wxc_t = jax.lax.dot_general(                # Wᵀ @ x_i, (tile, d)
             W, x_row_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)[None]
-        rows2_ref[...] += cols_t
-        wx2_ref[...] += wxc_t
+            precision=jax.lax.Precision.HIGHEST)
+        rj = pl.dslice(j * tile, tile)
+        rows_ref[0, rj, :] += cols_t
+        wx_ref[0, rj, :] += wxc_t
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "interpret"))
@@ -471,7 +472,10 @@ def lowrank_stationary_reduce_sym(x, lengthscale, A, Bf, kind: str,
     """:func:`lowrank_stationary_reduce` for SYMMETRIC cotangents
     (A Bᵀ = B Aᵀ — true for the fused MLL's factor construction): evaluates
     only the lower-triangular tiles, ~2× less transcendental VPU work. The
-    two accumulator pairs merge with one tiny (B, n) + (B, n, d) add."""
+    accumulators live as one full-height resident VMEM block per batch
+    element (n·(1+d)·4 bytes — ~400 KB at n=20k) so no output window is ever
+    revisited non-consecutively; see the kernel docstring for the Mosaic
+    race this avoids."""
     n, d = x.shape
     B, _, r = A.shape
     tile = _pick_tile(n, n)
@@ -485,8 +489,6 @@ def lowrank_stationary_reduce_sym(x, lengthscale, A, Bf, kind: str,
     idx = jnp.asarray(np.array(tri, dtype=np.int32).T)     # (2, T_tri)
     grid = (B, len(tri))
     out_shapes = (jax.ShapeDtypeStruct((B, np_, 1), jnp.float32),
-                  jax.ShapeDtypeStruct((B, np_, d), jnp.float32),
-                  jax.ShapeDtypeStruct((B, np_, 1), jnp.float32),
                   jax.ShapeDtypeStruct((B, np_, d), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -504,25 +506,19 @@ def lowrank_stationary_reduce_sym(x, lengthscale, A, Bf, kind: str,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, tile, 1), lambda b, t, idx: (b, idx[0, t], 0),
+            pl.BlockSpec((1, np_, 1), lambda b, t, idx: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, d), lambda b, t, idx: (b, idx[0, t], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, 1), lambda b, t, idx: (b, idx[1, t], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, d), lambda b, t, idx: (b, idx[1, t], 0),
+            pl.BlockSpec((1, np_, d), lambda b, t, idx: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
     )
-    rows1, wx1, rows2, wx2 = pl.pallas_call(
-        functools.partial(_lowrank_vjp_tile_sym, kind),
+    rows, wx = pl.pallas_call(
+        functools.partial(_lowrank_vjp_tile_sym, kind, tile),
         out_shape=out_shapes,
         grid_spec=grid_spec,
         interpret=interpret,
     )(idx, xp, xp, lengthscale, Ap, Bp)
-    rows = (rows1 + rows2)[:, :n, 0]
-    wx = (wx1 + wx2)[:, :n]
-    return rows, wx
+    return rows[:, :n, 0], wx[:, :n]
 
 
 def xla_kernel_matrix(x1, x2, lengthscale, kind: str = "matern25"):

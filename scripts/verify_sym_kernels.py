@@ -1,0 +1,123 @@
+"""On-chip verification + timing of the symmetric triangular-grid Pallas
+kernels (ops/pallas_kernels.scaled_kernel_stack_sym /
+lowrank_stationary_reduce_sym) against their full-grid counterparts.
+
+These kernels pass interpret-mode parity on CPU (tests/test_fused_mll.py),
+but Mosaic lowering can reject programs interpret mode accepts (round-2
+BlockSpec findings), so ops/fused_mll.SYM_BUILD stays False until this
+script has confirmed, on the real chip:
+  1. Mosaic compiles both triangular-grid kernels (scalar-prefetch grids,
+     aliased in-place mirror pass);
+  2. numerical parity vs the full-grid kernels (tolerances: fp32 exact-ish,
+     bf16 within one rounding class);
+  3. the triangular grid actually wins wall-clock (the point is halving the
+     transcendental VPU work; the mirror pass adds an HBM read+write of
+     half the stack, so the win must be measured, not assumed).
+
+Prints one JSON line; exits nonzero on any parity failure.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from projected_lmc_tpu.utils.tpu import ensure_tpu  # noqa: E402
+
+ensure_tpu()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from projected_lmc_tpu.ops import pallas_kernels as pk  # noqa: E402
+
+
+def _sync(t):
+    leaves = jax.tree_util.tree_leaves(t)
+    float(jnp.sum(leaves[0].ravel()[:1].astype(jnp.float32)))
+
+
+def timed(fn, *args, reps=6):
+    """Chained dependent dispatches, one fetch (tunnel adds ~25 ms/fetch)."""
+
+    @jax.jit
+    def chain(a0):
+        a = a0
+        for _ in range(reps):
+            out = fn(a, *args[1:])
+            first = jax.tree_util.tree_leaves(out)[0]
+            a = a + (0.0 * first.ravel()[0]).astype(a.dtype)
+        return a
+
+    out = chain(args[0])
+    _sync(out)
+    t0 = time.time()
+    out = chain(out)
+    _sync(out)
+    return (time.time() - t0) / reps * 1e3
+
+
+def main():
+    n, d, q, r = 10240, 4, 4, 17
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    ls = jnp.asarray(rng.uniform(0.5, 2.0, (q, 1, d)).astype(np.float32))
+    os_ = jnp.asarray(rng.uniform(0.5, 2.0, q).astype(np.float32))
+    U = rng.standard_normal((q, n, (r + 1) // 2)).astype(np.float32) / n
+    V = rng.standard_normal((q, n, (r + 1) // 2)).astype(np.float32) / n
+    A = jnp.asarray(np.concatenate([U, V], -1))
+    Bf = jnp.asarray(np.concatenate([V, U], -1))   # A Bfᵀ symmetric
+
+    out = {"n": n, "q": q, "chip": jax.devices()[0].device_kind}
+    ok = True
+
+    # --- builder parity (fp32 and bf16 out) ---
+    for dt, name, tol in ((None, "fp32", 2e-6), (jnp.bfloat16, "bf16", 1e-2)):
+        ref = pk.scaled_kernel_stack(x, x, ls, os_, "matern25", False, dt)
+        got = pk.scaled_kernel_stack_sym(x, ls, os_, "matern25", out_dtype=dt)
+        err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                    - ref.astype(jnp.float32))))
+        out[f"build_{name}_max_abs_err"] = err
+        # bf16: full-grid uses fast exp on BOTH tiles of a pair; sym computes
+        # one and mirrors — identical values, so parity should be exact-ish.
+        ok &= err <= tol
+
+    # --- builder timing ---
+    out["build_full_ms"] = round(timed(
+        lambda a: pk.scaled_kernel_stack(a, a, ls, os_, "matern25", False,
+                                         jnp.bfloat16), x), 2)
+    out["build_sym_ms"] = round(timed(
+        lambda a: pk.scaled_kernel_stack_sym(a, ls, os_, "matern25",
+                                             out_dtype=jnp.bfloat16), x), 2)
+    out["build_speedup"] = round(out["build_full_ms"] / out["build_sym_ms"], 3)
+
+    # --- reduce parity ---
+    rows_f, wx_f = pk.lowrank_stationary_reduce(x, ls, A, Bf, "matern25")
+    rows_s, wx_s = pk.lowrank_stationary_reduce_sym(x, ls, A, Bf, "matern25")
+    scale = float(jnp.max(jnp.abs(rows_f))) + 1e-30
+    err_rows = float(jnp.max(jnp.abs(rows_s - rows_f))) / scale
+    scale_wx = float(jnp.max(jnp.abs(wx_f))) + 1e-30
+    err_wx = float(jnp.max(jnp.abs(wx_s - wx_f))) / scale_wx
+    out["reduce_rows_rel_err"] = err_rows
+    out["reduce_wx_rel_err"] = err_wx
+    ok &= err_rows <= 1e-4 and err_wx <= 1e-4
+
+    # --- reduce timing ---
+    out["reduce_full_ms"] = round(timed(
+        lambda a: pk.lowrank_stationary_reduce(x, ls, a, Bf, "matern25"), A),
+        2)
+    out["reduce_sym_ms"] = round(timed(
+        lambda a: pk.lowrank_stationary_reduce_sym(x, ls, a, Bf, "matern25"),
+        A), 2)
+    out["reduce_speedup"] = round(out["reduce_full_ms"]
+                                  / out["reduce_sym_ms"], 3)
+
+    out["parity_ok"] = ok
+    print(json.dumps(out))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
