@@ -275,8 +275,21 @@ def bench_blocked_cholesky(n=8192, reps=8, block=1024):
 
 
 def bench_predict_p50(n=44480, d=21, T=7, q=7, m_ind=500, n_test=4449, reps=5):
-    """Projected-LMC SGPR posterior predict latency (SARCOS full shapes)."""
+    """Projected-LMC SGPR posterior predict latency (SARCOS full shapes).
+
+    Two regimes:
+    * ``cold_ms`` — one self-contained ``model.predict`` call: rebuilds the
+      prediction cache (Nyström roots over all n training points + the qm×qm
+      capacitance Cholesky) then evaluates the n_test batch. Includes one
+      host fetch (the tunnel adds ~25 ms to it).
+    * ``warm_p50_ms`` — serving regime: ``model.prediction_cache()`` is
+      computed once (gpytorch caches its prediction strategy the same way on
+      the first eval call), then per-batch latency is measured with ``reps``
+      DEPENDENT predict calls inside one jit (next input perturbed by the
+      previous output) and a single fetch, so the tunnel fetch amortizes out.
+    """
     import jax
+    import jax.numpy as jnp
     from projected_lmc_tpu.models.projected import ProjectedGPModel
 
     rng = np.random.default_rng(1)
@@ -295,7 +308,25 @@ def bench_predict_p50(n=44480, d=21, T=7, q=7, m_ind=500, n_test=4449, reps=5):
         mean, var = predict(model, Xt)
         _sync(mean)
         times.append(time.time() - t0)
-    return float(np.median(times) * 1e3)
+    cold = float(np.median(times) * 1e3)
+
+    cache = jax.jit(lambda mdl: mdl.prediction_cache())(model)
+    jax.block_until_ready(cache)
+
+    @jax.jit
+    def chain(mdl, c, xs):
+        for _ in range(reps):
+            mean, var = mdl.predict(xs, observed=True, cache=c)
+            xs = xs + (0.0 * mean[0, 0]).astype(xs.dtype)
+        return mean, var
+
+    mean, var = chain(model, cache, jnp.asarray(Xt))
+    _sync(mean)
+    t0 = time.time()
+    mean, var = chain(model, cache, jnp.asarray(Xt))
+    _sync(mean)
+    warm = (time.time() - t0) / reps * 1e3
+    return {"cold_ms": round(cold, 1), "warm_p50_ms": round(warm, 2)}
 
 
 def bench_pallas_delta(n=8192, m=8192, d=4, q=4, reps=6):
@@ -520,8 +551,7 @@ def _stage_main(argv):
         if left() > 90:
             try:
                 print("RESULT", json.dumps(
-                    {"plmc_sgpr_predict_p50_ms":
-                     round(bench_predict_p50(), 1)}), flush=True)
+                    {"plmc_sgpr_predict": bench_predict_p50()}), flush=True)
             except Exception as e:
                 print("RESULT", json.dumps(
                     {"predict_error": repr(e)[:160]}), flush=True)
@@ -561,7 +591,7 @@ def _stage_main(argv):
         except Exception as e:
             out["pallas_error"] = repr(e)[:160]
         try:
-            out["plmc_sgpr_predict_p50_ms"] = round(bench_predict_p50(), 1)
+            out["plmc_sgpr_predict"] = bench_predict_p50()
         except Exception as e:
             out["predict_error"] = repr(e)[:160]
         print("RESULT", json.dumps(out))

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..module import Module
+from ..module import Module, CacheTag
 from ..kernels import handle_covar, KERNEL_REGISTRY, Kernel
 from ..means import MEAN_REGISTRY, Mean, ConstantMean
 from ..likelihoods import GaussianLikelihood
@@ -205,13 +205,13 @@ class ExactGPModel(Module):
             Lc = safe_cholesky(cap)
             Rty = jnp.matmul(jnp.swapaxes(R, -1, -2), delta[..., None], precision=_HIGHEST)
             beta = cho_solve(Lc, Rty)[..., 0]            # (T, m)
-            return dict(kind="sgpr", Lc=Lc, beta=beta, noise=noise)
+            return dict(kind=CacheTag("sgpr"), Lc=Lc, beta=beta, noise=noise)
         n = x.shape[0]
         K = self.covar_module(x)
         Kp = K + noise[..., None] * jnp.eye(n, dtype=K.dtype)
         L = safe_cholesky(Kp)
         alpha = cho_solve(L, delta[..., None])[..., 0]   # (T, n)
-        return dict(kind="exact", L=L, alpha=alpha)
+        return dict(kind=CacheTag("exact"), L=L, alpha=alpha)
 
     def posterior(self, x_star, cache=None, full_cov: bool = True,
                   targets=None) -> MultivariateNormal:

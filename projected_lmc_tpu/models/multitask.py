@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..module import Module
+from ..module import Module, CacheTag
 from ..kernels import handle_covar, KERNEL_REGISTRY
 from ..means import MEAN_REGISTRY
 from ..likelihoods import MultitaskGaussianLikelihood
@@ -446,26 +446,26 @@ class MultitaskGPModel(Module):
                 c = it_ops.residual_spectral_bound(Ks, roots, H)
                 St_up = St + c * jnp.eye(self.n_tasks, dtype=St.dtype)
                 fac_up = wb_ops.lmc_factors_from_roots(roots, H, St_up)
-                return dict(kind="lmc_iter", alpha=alpha, H=H, Sigma_t=St,
+                return dict(kind=CacheTag("lmc_iter"), alpha=alpha, H=H, Sigma_t=St,
                             fac=fac_up)
         if self.sgpr:
             roots, H_eff, St_eff, _ = self._sgpr_structure(x)
             fac = wb_ops.lmc_factors_from_roots(roots, H_eff, St_eff)
             alpha = wb_ops.lmc_solve(Ydelta, fac)
-            return dict(kind="sgpr", fac=fac, alpha=alpha, H=H_eff,
+            return dict(kind=CacheTag("sgpr"), fac=fac, alpha=alpha, H=H_eff,
                         Sigma_t=St_eff)
         if self.model_type == "ICM":
             K = self.covar_module(x)[0]
             B = self.task_covar_matrix()
             fac = kron_ops.icm_eig_factors(K, B, Sigma_t)
             alpha = kron_ops.icm_solve(Ydelta, fac)
-            return dict(kind="icm", fac=fac, alpha=alpha, B=B, Sigma_t=Sigma_t)
+            return dict(kind=CacheTag("icm"), fac=fac, alpha=alpha, B=B, Sigma_t=Sigma_t)
         Ks = self.covar_module(x)
         H = self.covar_factor[..., 0].T
         St = Sigma_t + jnp.diag(self._lmc_extra_diag())
         fac = wb_ops.lmc_factors(Ks, H, St)
         alpha = wb_ops.lmc_solve(Ydelta, fac)
-        return dict(kind="lmc", fac=fac, alpha=alpha, H=H, Sigma_t=St)
+        return dict(kind=CacheTag("lmc"), fac=fac, alpha=alpha, H=H, Sigma_t=St)
 
     def posterior(self, x_star, cache=None, observed: bool = True):
         """Posterior mean/variance at x_star as a Multitask distribution carrying

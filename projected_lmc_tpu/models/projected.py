@@ -355,11 +355,25 @@ class ProjectedGPModel(ExactGPModel):
         return FixedTaskNoise(chol)
 
     # -- latent / task posteriors ----------------------------------------------
-    def compute_latent_distrib(self, x, full_cov: bool = True):
+    def prediction_cache(self):
+        """Factorize the training system once for repeated posterior queries.
+
+        The functional analog of gpytorch's prediction-strategy cache (built
+        lazily on the first eval-mode call, projected_lmc.py:1133 +
+        exact_prediction_strategies): project the stored task targets and
+        factorize K+Σ_P (or the SGPR capacitance) once. Pass the returned
+        pytree as ``cache=`` to :meth:`predict` / :meth:`compute_latent_distrib`
+        to amortize the O(q·n³) (or O(q·n·m²)) setup across serving batches —
+        per-batch work is then only the n*×(n|m) cross-covariance and solves.
+        """
+        proj = self.project_data(self.train_y_tasks)
+        return self.precompute_posterior(targets=proj, orientation="tn")
+
+    def compute_latent_distrib(self, x, full_cov: bool = True, cache=None):
         """Batched latent posterior at x, re-targeting the cached exact GP to the
         projected data (projected_lmc.py:1093-1106 set_train_data trick)."""
-        proj = self.project_data(self.train_y_tasks)
-        cache = self.precompute_posterior(targets=proj, orientation="tn")
+        if cache is None:
+            cache = self.prediction_cache()
         return self.posterior(x, cache=cache, full_cov=full_cov)
 
     def latent_prior(self, x):
@@ -382,10 +396,12 @@ class ProjectedGPModel(ExactGPModel):
                                 self.full_likelihood().task_covariance())
         return MultitaskMultivariateNormal(mean, covar)
 
-    def predict(self, x, observed: bool = True):
+    def predict(self, x, observed: bool = True, cache=None):
         """Convenience: (mean, variance) at x with observation noise
-        (the 'full_likelihood(model(X_test))' path of experiments.py:316-330)."""
-        latent = self.compute_latent_distrib(x, full_cov=False)
+        (the 'full_likelihood(model(X_test))' path of experiments.py:316-330).
+        Pass ``cache=model.prediction_cache()`` to amortize the training-system
+        factorization across repeated serving calls."""
+        latent = self.compute_latent_distrib(x, full_cov=False, cache=cache)
         H = self.lmc_coefficients()
         mean = jnp.matmul(latent.mean.T, H, precision=_HIGHEST)
         var = jnp.matmul(latent.variance.T, H * H, precision=_HIGHEST)

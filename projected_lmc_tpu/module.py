@@ -180,3 +180,14 @@ def combine(a, b):
         return y if isinstance(x, _Removed) else x
     return jax.tree_util.tree_map(pick, a, b,
                                   is_leaf=lambda x: isinstance(x, _Removed))
+
+
+@jax.tree_util.register_static
+class CacheTag(str):
+    """Static string tag inside posterior-cache pytrees.
+
+    Prediction caches (ExactGPModel.precompute_posterior and friends) are
+    plain dicts of arrays plus a ``kind`` discriminator; registering the tag
+    as a static pytree node lets a cache cross ``jax.jit`` boundaries as an
+    argument — the serving pattern ``jit(lambda model, cache, x: ...)``."""
+    __slots__ = ()

@@ -527,6 +527,33 @@ class TestProjected:
                                    np.asarray(m.project_data(jnp.asarray(Y))).T,
                                    atol=1e-5)
 
+    def test_prediction_cache_matches_uncached(self):
+        """predict(cache=prediction_cache()) == self-contained predict, for
+        both the dense and the SGPR (n_inducing_points) latent paths — the
+        serving-side analog of gpytorch's prediction-strategy cache."""
+        X, Y, _, _ = make_data(n=48, p=5, q=2)
+        Xt = np.asarray(X)[:11] + 0.05
+        for m_ind in (None, 16):
+            m = pl.ProjectedGPModel(X, Y, 5, 2, init_lmc_coeffs=True,
+                                    BDN=True, scalar_B=True, diagonal_B=True,
+                                    n_inducing_points=m_ind)
+            mean0, var0 = m.predict(jnp.asarray(Xt), observed=True)
+            cache = m.prediction_cache()
+            mean1, var1 = m.predict(jnp.asarray(Xt), observed=True,
+                                    cache=cache)
+            np.testing.assert_allclose(np.asarray(mean1), np.asarray(mean0),
+                                       rtol=1e-6, atol=1e-7)
+            np.testing.assert_allclose(np.asarray(var1), np.asarray(var0),
+                                       rtol=1e-6, atol=1e-7)
+            # the cache is a jit-traversable pytree (serving usage)
+            import jax
+            f = jax.jit(lambda mdl, c, xs: mdl.predict(xs, observed=True,
+                                                       cache=c))
+            mean2, var2 = f(m, cache, jnp.asarray(Xt))
+            # jit refuses nothing but reassociates float reductions
+            np.testing.assert_allclose(np.asarray(mean2), np.asarray(mean0),
+                                       rtol=1e-4, atol=1e-5)
+
     def test_mll_variants_and_training_config5(self):
         """Driver config 5 (small): PLMC variants all train to low error."""
         X, Y, F, _ = make_data(n=70, p=6, q=2)
