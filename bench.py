@@ -29,8 +29,9 @@ Budget discipline (round-1 postmortem: rc=124, all results lost):
     large graphs) with timeouts bounded by the remaining budget.
 
 Secondary details (same JSON object, best-effort): Cholesky GFLOP/s at
-n=8192, projected-LMC SGPR predict p50 on SARCOS-like shapes, and the
-Pallas-vs-XLA fused kernel-matrix build time.
+n=8192, projected-LMC SGPR predict p50 on SARCOS-like shapes (cold and
+cached-serving regimes), SVGP-LMC ELBO training throughput at the reference's
+m=500 real-data config, and the Pallas-vs-XLA fused kernel-matrix build time.
 
 Timing methodology: the tunneled TPU adds ~25 ms host↔device roundtrip per
 fetch, so measurements dispatch several dependent steps and fetch once.
@@ -329,6 +330,49 @@ def bench_predict_p50(n=44480, d=21, T=7, q=7, m_ind=500, n_test=4449, reps=5):
     return {"cold_ms": round(cold, 1), "warm_p50_ms": round(warm, 2)}
 
 
+def bench_var_elbo(n=4449, d=21, T=7, q=7, m_ind=500, steps=16, reps=2):
+    """SVGP-LMC ELBO training throughput (SARCOS shapes, m=500 inducing
+    points — the reference's real-data variational config). One jit dispatch
+    fuses ``steps`` full-batch ELBO+grad+AdamW iterations via lax.scan."""
+    import jax
+    from projected_lmc_tpu.models.variational import VariationalMultitaskGPModel
+    from projected_lmc_tpu.module import trainable_mask, partition, combine
+    import optax
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Y = rng.standard_normal((n, T)).astype(np.float32)
+    model = VariationalMultitaskGPModel(
+        X, n_latents=q, n_tasks=T, train_y=Y, init_lmc_coeffs=True,
+        kernel_type="matern", train_ind_ratio=n / m_ind, seed=0)
+    mask = trainable_mask(model)
+    params, static = partition(model, mask)
+    tx = optax.adamw(1e-2)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def multi_step(carry):
+        def body(c, _):
+            p, o = c
+            def neg_elbo(pp):
+                return -combine(pp, static).elbo()
+            loss, g = jax.value_and_grad(neg_elbo)(p)
+            up, o = tx.update(g, o, p)
+            return (optax.apply_updates(p, up), o), loss
+        (p, o), losses = jax.lax.scan(body, carry, None, length=steps)
+        return (p, o), losses[-1]
+
+    carry = (params, opt_state)
+    carry, loss = multi_step(carry)
+    _sync(loss)
+    t0 = time.time()
+    for _ in range(reps):
+        carry, loss = multi_step(carry)
+    _sync(loss)
+    dt = (time.time() - t0) / (steps * reps)
+    return round(1.0 / dt, 2)
+
+
 def bench_pallas_delta(n=8192, m=8192, d=4, q=4, reps=6):
     """Fused Pallas kernel-matrix build vs the XLA path, (q, n, m) Matern.
 
@@ -563,6 +607,13 @@ def _stage_main(argv):
             except Exception as e:
                 print("RESULT", json.dumps(
                     {"pallas_error": repr(e)[:160]}), flush=True)
+        if left() > 60:
+            try:
+                print("RESULT", json.dumps(
+                    {"svgp_elbo_iters_per_sec": bench_var_elbo()}), flush=True)
+            except Exception as e:
+                print("RESULT", json.dumps(
+                    {"svgp_error": repr(e)[:160]}), flush=True)
     elif kind == "stretch":
         # scale headroom beyond the headline config: the bf16 stack at
         # n=20k, q=4 is 3.2 GB — still single-chip HBM territory
@@ -594,6 +645,10 @@ def _stage_main(argv):
             out["plmc_sgpr_predict"] = bench_predict_p50()
         except Exception as e:
             out["predict_error"] = repr(e)[:160]
+        try:
+            out["svgp_elbo_iters_per_sec"] = bench_var_elbo()
+        except Exception as e:
+            out["svgp_error"] = repr(e)[:160]
         print("RESULT", json.dumps(out))
     else:
         raise SystemExit(f"unknown stage {kind!r}")
