@@ -74,13 +74,27 @@ def _scaled_stack(xc, ls, os_, kind, out_dtype):
     return K.astype(out_dtype) if out_dtype is not None else K
 
 
+def _sym_reduce_fits_vmem(xc, A):
+    """Static gate for the triangular-grid reduce: its Mosaic-race fix keeps
+    full-height accumulator blocks resident in VMEM, so its scoped-VMEM need
+    grows linearly with n and blows the 16 MB budget around n≈15k (measured:
+    fits at n=10240, needs 21.5 MB at n=20480 with B=4, d=4, r=17). Estimate
+    outputs + streamed factor blocks + x, with a 1.7× Mosaic buffering
+    factor, against a 15 MB allowance."""
+    n, d = xc.shape
+    B, _, r = A.shape
+    est = 4.0 * (B * n * (1 + d) + 2 * B * n * r + 2 * n * d) * 1.7
+    return est < 15e6
+
+
 def _lowrank_reduce(xc, ls, A, Bf, kind):
     """(rows, wx) of W = (A Bᵀ) ⊙ dprofile(d²): Pallas on TPU, dense XLA
     reference elsewhere (small problems / CPU tests). The factor
     construction in _fused_bwd makes A Bᵀ symmetric, so the TPU path runs
-    the triangular-grid kernel — half the transcendental VPU work."""
+    the triangular-grid kernel — half the transcendental VPU work — whenever
+    its resident accumulators fit VMEM (full-grid fallback above that)."""
     if _use_pallas(xc):
-        if SYM_BUILD:
+        if SYM_BUILD and _sym_reduce_fits_vmem(xc, A):
             return pk.lowrank_stationary_reduce_sym(xc, ls, A, Bf, kind)
         return pk.lowrank_stationary_reduce(xc, ls, A, Bf, kind)
     a = xc[None] / ls
