@@ -316,7 +316,14 @@ class MultitaskGPModel(Module):
             B = self.task_covar_matrix()
             icm_iterative = (n > self.ICM_DENSE_N_MAX if iterative is None
                              else iterative)
-            if icm_iterative and precond_rank > 0:
+            if icm_iterative and precond_rank <= 0:
+                # routing above the dense ceiling must not silently fall
+                # back to icm_log_prob_chol — its T parallel (n, n) Choleskys
+                # are O(T·n²) HBM (28.9 GB at n=16k, T=7 on a 16 GB chip).
+                # The pcg estimator is exact for any SPD preconditioner, so
+                # a default Nyström rank is always safe.
+                precond_rank = min(256, n)
+            if icm_iterative:
                 # matrix-free large-n ICM: one (n, n) kernel stream per CG
                 # matvec regardless of task count, preconditioner factored
                 # per task-eigenvalue (ops/iterative.icm_pcg_log_prob) —

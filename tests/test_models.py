@@ -384,6 +384,22 @@ class TestMultitaskSGPR:
                              slq_steps=30))
         assert abs(v_iter - v_dense) / abs(v_dense) < 2e-2
 
+    def test_icm_iterative_default_rank(self):
+        """ICM iterative routing with the DEFAULT precond_rank=0 must not
+        silently fall back to the O(T·n²)-memory dense path (it OOMed HBM at
+        n=16k, T=7): a default Nyström rank is substituted, and the pcg MLL
+        agrees with the dense joint-diagonalization value."""
+        X, Y, _, _ = make_data(n=48, p=3, q=2)
+        lik = pl.MultitaskGaussianLikelihood(num_tasks=3, rank=0)
+        m = pl.MultitaskGPModel(X, Y, lik, n_tasks=3, n_latents=2,
+                                model_type="ICM")
+        v_dense = float(m.mll(iterative=False))
+        # iterative=True + precond_rank=0 (the default) exercises the
+        # substituted rank; tight CG makes the estimator near-exact
+        v_iter = float(m.mll(iterative=True, key=jax.random.PRNGKey(0),
+                             num_probes=24, max_cg_iters=400, cg_tol=1e-10))
+        assert abs(v_iter - v_dense) / abs(v_dense) < 2e-2
+
 
 class TestVariational:
     def test_whitened_trains_config4(self):
