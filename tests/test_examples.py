@@ -41,6 +41,13 @@ def test_sgpr_serving():
 
 
 @pytest.mark.slow
+def test_checkpoint_resume():
+    out = _run("04_checkpoint_resume.py")
+    assert "matches phase-1 final: True" in out
+    assert "improved: True" in out
+
+
+@pytest.mark.slow
 def test_multichip_sharding():
     out = _run("03_multichip_sharding.py",
                {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"})
