@@ -464,6 +464,39 @@ class MultitaskGPModel(Module):
         if self.model_type == "ICM":
             K = self.covar_module(x)[0]
             B = self.task_covar_matrix()
+            icm_iterative = (n > self.ICM_DENSE_N_MAX if iterative is None
+                             else iterative)
+            if icm_iterative:
+                # matrix-free ICM posterior: the n×n eigh of the dense path
+                # is out of reach at this scale (the remote TPU compiler is
+                # killed at n=16k). Mean: tight PCG with the one-K-stream
+                # ICM matvec. Variance: the pseudo-LMC cast Σ = Σ_j K ⊗
+                # (l_j l_jᵀ) + I⊗Σt with Lb = chol(B), upper-bounded through
+                # the rank-m Nyström root of K (+ the Kronecker-factorized
+                # residual bound) — conservative, like the LMC branch above.
+                m_rank = min(precond_rank, n)
+                roots = it_ops.nystrom_roots_from_kernels(K[None], m_rank)[0]
+                _, _, _, minv, _ = it_ops._icm_nystrom_parts(
+                    K, B, Sigma_t, m_rank, roots=roots)
+                Md = jnp.clip(jnp.outer(jnp.diagonal(K), jnp.diagonal(B))
+                              + jnp.diagonal(Sigma_t)[None, :], 1e-10)
+                alpha = it_ops.batched_pcg(
+                    lambda V: it_ops.icm_matvec(K, B, Sigma_t, V),
+                    Ydelta[None], Md, max_iters=max_cg_iters, tol=cg_tol,
+                    minv=minv)[0]
+                c = it_ops.icm_residual_spectral_bound(K, roots, B)
+                St_up = Sigma_t + c * jnp.eye(self.n_tasks,
+                                              dtype=Sigma_t.dtype)
+                # (t, q_eff=t): columns are the pseudo-latent mixing vectors
+                # (h_b = H[:, b], matching _jacobi_diag/lmc_factors), so
+                # Σ_b h_b h_bᵀ = Lb Lbᵀ = B
+                H_eff = safe_cholesky(B)
+                roots_eff = jnp.broadcast_to(
+                    roots, (self.n_tasks,) + roots.shape)
+                fac_up = wb_ops.lmc_factors_from_roots(roots_eff, H_eff,
+                                                       St_up)
+                return dict(kind=CacheTag("icm_iter"), alpha=alpha, B=B,
+                            H=H_eff, Sigma_t=Sigma_t, fac=fac_up)
             fac = kron_ops.icm_eig_factors(K, B, Sigma_t)
             alpha = kron_ops.icm_solve(Ydelta, fac)
             return dict(kind=CacheTag("icm"), fac=fac, alpha=alpha, B=B, Sigma_t=Sigma_t)
@@ -498,6 +531,22 @@ class MultitaskGPModel(Module):
             # prior + noise use the TRUE Σt, only the solve uses St_up
             var = wb_ops.lmc_posterior_variance(
                 Kstars, kss, cache["H"], cache["Sigma_t"], cache["fac"],
+                noise=observed)
+            return _MeanVarMT(mean, var)
+        if cache["kind"] == "icm_iter":
+            K_star = self.covar_module(x_star, self.train_x)[0]  # (n*, n)
+            mean = kron_ops.icm_posterior_mean(K_star, cache["B"],
+                                               cache["alpha"], mean_star)
+            kss = self.covar_module(x_star, diag=True)[0]        # (n*,)
+            # pseudo-LMC variance: t copies of the shared K cross-covariance
+            # against the chol(B) pseudo-latents; conservative via the
+            # inflated St_up baked into cache['fac'] (prior + noise use the
+            # TRUE Σt)
+            t = self.n_tasks
+            Kstars = jnp.broadcast_to(K_star, (t,) + K_star.shape)
+            kss_b = jnp.broadcast_to(kss, (t,) + kss.shape)
+            var = wb_ops.lmc_posterior_variance(
+                Kstars, kss_b, cache["H"], cache["Sigma_t"], cache["fac"],
                 noise=observed)
             return _MeanVarMT(mean, var)
         if cache["kind"] == "icm":

@@ -771,6 +771,40 @@ def residual_spectral_bound(Ks, roots, H, n_iters: int = 12, seed: int = 0):
     return jnp.clip(jnp.sum(v * w) / jnp.clip(jnp.sum(v * v), 1e-30), 0.0)
 
 
+def icm_residual_spectral_bound(K, roots, B, n_iters: int = 12, seed: int = 0):
+    """λmax bound of the ICM Nyström residual (K − R Rᵀ) ⊗ B.
+
+    The residual factorizes over the Kronecker product, so
+    λmax((K − Q) ⊗ B) = λmax(K − Q) · λmax(B): power-iterate on the n×n
+    residual alone (one K stream per iteration — never materializes a
+    (t, n, n) broadcast) and multiply by the exact t×t eigenvalue. Clamped
+    at 0 like :func:`residual_spectral_bound` (same conservative-variance
+    rationale)."""
+    n = K.shape[-1]
+
+    def resid_mv(v):
+        return (jnp.matmul(K, v, precision=_HIGHEST)
+                - jnp.matmul(roots, jnp.matmul(roots.T, v,
+                                               precision=_HIGHEST),
+                             precision=_HIGHEST))
+
+    v = jax.random.normal(jax.random.PRNGKey(seed), (n, 1), K.dtype)
+
+    def body(carry, _):
+        v, _ = carry
+        w = resid_mv(v)
+        lam = jnp.sqrt(jnp.sum(w * w))
+        return (w / jnp.clip(lam, 1e-30), lam), None
+
+    (v, _), _ = lax.scan(body, (v / jnp.sqrt(jnp.sum(v * v)),
+                                jnp.zeros((), K.dtype)), None,
+                         length=n_iters)
+    w = resid_mv(v)
+    lam_K = jnp.clip(jnp.sum(v * w) / jnp.clip(jnp.sum(v * v), 1e-30), 0.0)
+    lam_B = jnp.clip(jnp.linalg.eigvalsh(0.5 * (B + B.T))[-1], 0.0)
+    return lam_K * lam_B
+
+
 def nystrom_roots_from_kernels(Ks, rank: int = 256, jitter: float = 1e-4):
     """Strided-landmark Nyström roots R_b with R_b R_bᵀ ≈ K_b, (q, n, rank).
 

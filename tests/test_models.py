@@ -371,6 +371,34 @@ class TestMultitaskSGPR:
         assert np.all(vi >= vd - 1e-8)
         assert np.all(vi <= vd * 1.5 + 1e-6)   # and not uselessly loose
 
+    def test_iterative_icm_posterior_conservative(self):
+        """Matrix-free ICM posterior (the n>ICM_DENSE_N_MAX route — the
+        dense path's n×n eigh kills the TPU compiler at n=16k): exact mean
+        via PCG with the one-stream ICM matvec, conservative variance via
+        the chol(B) pseudo-LMC cast with the Kronecker-factorized residual
+        bound. Must match / upper-bound the dense joint-diagonalization
+        posterior."""
+        X, Y, F, _ = make_data(n=90, p=4, q=2)
+        Xs = np.linspace(-0.9, 0.9, 15)[:, None]
+        lik = pl.MultitaskGaussianLikelihood(num_tasks=4, rank=0)
+        m = pl.MultitaskGPModel(X, Y, lik, n_tasks=4, n_latents=2,
+                                model_type="ICM", kernel_type="matern",
+                                mean_type="zero")
+        cd = m.precompute_posterior(iterative=False)
+        ci = m.precompute_posterior(iterative=True, precond_rank=30)
+        pd_ = m.posterior(jnp.asarray(Xs), cache=cd, observed=True)
+        pi_ = m.posterior(jnp.asarray(Xs), cache=ci, observed=True)
+        np.testing.assert_allclose(np.asarray(pi_.mean), np.asarray(pd_.mean),
+                                   atol=1e-5)
+        vd, vi = np.asarray(pd_.variance), np.asarray(pi_.variance)
+        assert np.all(vi >= vd - 1e-8)
+        assert np.all(vi <= vd * 1.5 + 1e-6)   # and not uselessly loose
+        # near-full rank: the bound collapses onto the exact variance
+        cf = m.precompute_posterior(iterative=True, precond_rank=88)
+        pf_ = m.posterior(jnp.asarray(Xs), cache=cf, observed=True)
+        np.testing.assert_allclose(np.asarray(pf_.variance), vd,
+                                   rtol=2e-2, atol=1e-4)
+
     def test_iterative_routing_threshold(self):
         """LMC auto-routes to the CG+SLQ path above DENSE_QN_MAX and the two
         paths agree on the MLL value."""
