@@ -323,10 +323,13 @@ def bench_predict_p50(n=44480, d=21, T=7, q=7, m_ind=500, n_test=4449, reps=5):
 
     mean, var = chain(model, cache, jnp.asarray(Xt))
     _sync(mean)
-    t0 = time.time()
-    mean, var = chain(model, cache, jnp.asarray(Xt))
-    _sync(mean)
-    warm = (time.time() - t0) / reps * 1e3
+    warm_samples = []
+    for _ in range(3):
+        t0 = time.time()
+        mean, var = chain(model, cache, jnp.asarray(Xt))
+        _sync(mean)
+        warm_samples.append((time.time() - t0) / reps * 1e3)
+    warm = float(np.median(warm_samples))
     return {"cold_ms": round(cold, 1), "warm_p50_ms": round(warm, 2)}
 
 

@@ -333,11 +333,6 @@ class MultitaskGPModel(Module):
                 if key is None:
                     key = jax.random.PRNGKey(0)
                 k1, k2 = jax.random.split(key)
-                m_rank = min(precond_rank, n)
-                eps = jax.random.normal(
-                    k1, (num_probes, n, self.n_tasks), Ydelta.dtype)
-                xi = jax.random.normal(
-                    k2, (num_probes, m_rank, self.n_tasks), Ydelta.dtype)
                 if precond_roots is not None:
                     # accept the LMC (k, n, m) convention too (e.g. stale
                     # roots computed once per scan chunk via _precond_roots)
@@ -345,6 +340,14 @@ class MultitaskGPModel(Module):
                              else precond_roots)
                 else:
                     roots = self._precond_roots(x, precond_rank)[0]
+                # the probe rank must match the roots actually used — a
+                # caller-supplied stale root of a different rank would
+                # otherwise shape-clash with xi inside icm_pcg_log_prob
+                m_rank = int(roots.shape[-1])
+                eps = jax.random.normal(
+                    k1, (num_probes, n, self.n_tasks), Ydelta.dtype)
+                xi = jax.random.normal(
+                    k2, (num_probes, m_rank, self.n_tasks), Ydelta.dtype)
                 if matvec_bf16 and getattr(self.covar_module,
                                            "_pallas_kind", None):
                     K = self.covar_module(x, out_dtype=jnp.bfloat16)[0]
@@ -470,10 +473,15 @@ class MultitaskGPModel(Module):
                 # matrix-free ICM posterior: the n×n eigh of the dense path
                 # is out of reach at this scale (the remote TPU compiler is
                 # killed at n=16k). Mean: tight PCG with the one-K-stream
-                # ICM matvec. Variance: the pseudo-LMC cast Σ = Σ_j K ⊗
-                # (l_j l_jᵀ) + I⊗Σt with Lb = chol(B), upper-bounded through
-                # the rank-m Nyström root of K (+ the Kronecker-factorized
-                # residual bound) — conservative, like the LMC branch above.
+                # ICM matvec. Variance: conservative through M_up = Q ⊗ B +
+                # I ⊗ (Σt + c·I) ⪰ Σ, with Q the rank-m Nyström
+                # approximation of K and c the Kronecker-factorized residual
+                # bound λmax(K−Q)·λmax(B) — like the LMC branch above, but
+                # exploiting the shared kernel so no (t, n, ·) broadcast is
+                # ever materialized (ops/iterative.icm_nystrom_posterior_
+                # variance).
+                if precond_rank <= 0:
+                    precond_rank = 256     # same guard as mll's routing
                 m_rank = min(precond_rank, n)
                 roots = it_ops.nystrom_roots_from_kernels(K[None], m_rank)[0]
                 _, _, _, minv, _ = it_ops._icm_nystrom_parts(
@@ -487,16 +495,12 @@ class MultitaskGPModel(Module):
                 c = it_ops.icm_residual_spectral_bound(K, roots, B)
                 St_up = Sigma_t + c * jnp.eye(self.n_tasks,
                                               dtype=Sigma_t.dtype)
-                # (t, q_eff=t): columns are the pseudo-latent mixing vectors
-                # (h_b = H[:, b], matching _jacobi_diag/lmc_factors), so
-                # Σ_b h_b h_bᵀ = Lb Lbᵀ = B
-                H_eff = safe_cholesky(B)
-                roots_eff = jnp.broadcast_to(
-                    roots, (self.n_tasks,) + roots.shape)
-                fac_up = wb_ops.lmc_factors_from_roots(roots_eff, H_eff,
-                                                       St_up)
+                parts = it_ops.icm_whitened_parts(None, B, St_up, m_rank,
+                                                  roots=roots)
                 return dict(kind=CacheTag("icm_iter"), alpha=alpha, B=B,
-                            H=H_eff, Sigma_t=Sigma_t, fac=fac_up)
+                            Sigma_t=Sigma_t, R=parts["R"],
+                            gam=parts["gam"], P_inv=parts["P_inv"],
+                            C_inv=parts["C_inv"])
             fac = kron_ops.icm_eig_factors(K, B, Sigma_t)
             alpha = kron_ops.icm_solve(Ydelta, fac)
             return dict(kind=CacheTag("icm"), fac=fac, alpha=alpha, B=B, Sigma_t=Sigma_t)
@@ -538,15 +542,14 @@ class MultitaskGPModel(Module):
             mean = kron_ops.icm_posterior_mean(K_star, cache["B"],
                                                cache["alpha"], mean_star)
             kss = self.covar_module(x_star, diag=True)[0]        # (n*,)
-            # pseudo-LMC variance: t copies of the shared K cross-covariance
-            # against the chol(B) pseudo-latents; conservative via the
-            # inflated St_up baked into cache['fac'] (prior + noise use the
-            # TRUE Σt)
-            t = self.n_tasks
-            Kstars = jnp.broadcast_to(K_star, (t,) + K_star.shape)
-            kss_b = jnp.broadcast_to(kss, (t,) + kss.shape)
-            var = wb_ops.lmc_posterior_variance(
-                Kstars, kss_b, cache["H"], cache["Sigma_t"], cache["fac"],
+            # Kronecker-separated conservative variance: shares the one
+            # (n*, n) cross-covariance across tasks (prior + noise use the
+            # TRUE Σt; only the solve runs through the inflated St_up baked
+            # into the whitened parts)
+            var = it_ops.icm_nystrom_posterior_variance(
+                K_star, kss, cache["B"], cache["Sigma_t"],
+                dict(R=cache["R"], gam=cache["gam"],
+                     P_inv=cache["P_inv"], C_inv=cache["C_inv"]),
                 noise=observed)
             return _MeanVarMT(mean, var)
         if cache["kind"] == "icm":

@@ -611,20 +611,20 @@ def icm_matvec(K, B, St, V):
             + jnp.matmul(V, St, precision=_HIGHEST))
 
 
-def _icm_nystrom_parts(K, B, St, rank: int, roots=None):
-    """Preconditioner M = Q ⊗ B + I ⊗ Σt with Q = R Rᵀ (rank-m Nyström root
-    of K): factored in the Σt-whitened task eigenbasis. With
-    B̃ = Lt⁻¹ B Lt⁻ᵀ = Vb Γ Vbᵀ and P = Lt Vb,
+def icm_whitened_parts(K, B, St, rank: int, roots=None):
+    """Whitened-eigenbasis factorization of M = Q ⊗ B + I ⊗ Σt with
+    Q = R Rᵀ (rank-m Nyström root of K). With B̃ = Lt⁻¹ B Lt⁻ᵀ = Vb Γ Vbᵀ
+    and P = Lt Vb,
 
         M = (I ⊗ P) · blockdiag_j(γ_j Q + I_n) · (I ⊗ Pᵀ)
 
-    so the apply is t independent rank-m Woodbury solves and
-    logdet M = n·logdet Σt + Σ_j logdet(I_m + γ_j RᵀR)."""
-    n = K.shape[-1]
+    Returns dict(R, gam, P, P_inv, C_inv, logdet_M) — everything the
+    preconditioner apply, the logdet, and the posterior-variance bound need.
+    ``K`` may be None when ``roots`` are supplied (only shapes of R used)."""
     if roots is None:
         roots = nystrom_roots_from_kernels(K[None], rank)[0]     # (n, m)
     R = roots
-    m = R.shape[-1]
+    n, m = R.shape
     t = St.shape[-1]
     Lt = jnp.linalg.cholesky(St)
     Lt_inv = jax.scipy.linalg.solve_triangular(
@@ -635,7 +635,7 @@ def _icm_nystrom_parts(K, B, St, rank: int, roots=None):
     P = Lt @ Vb                                                  # (t, t)
     P_inv = Vb.T @ Lt_inv
     G = jnp.matmul(R.T, R, precision=_HIGHEST)                   # (m, m)
-    eye_m = jnp.eye(m, dtype=K.dtype)
+    eye_m = jnp.eye(m, dtype=R.dtype)
     C = eye_m[None] + gam[:, None, None] * G[None]               # (t, m, m)
     L_C = jnp.linalg.cholesky(C)
     C_inv = jax.scipy.linalg.cho_solve(
@@ -643,6 +643,18 @@ def _icm_nystrom_parts(K, B, St, rank: int, roots=None):
     logdet_M = (2.0 * n * jnp.sum(jnp.log(jnp.diagonal(Lt)))
                 + 2.0 * jnp.sum(jnp.log(
                     jnp.diagonal(L_C, axis1=-2, axis2=-1))))
+    return dict(R=R, gam=gam, P=P, P_inv=P_inv, C_inv=C_inv,
+                logdet_M=logdet_M)
+
+
+def _icm_nystrom_parts(K, B, St, rank: int, roots=None):
+    """Preconditioner apply + logdet for M = Q ⊗ B + I ⊗ Σt (the factored
+    form of :func:`icm_whitened_parts`): t independent rank-m Woodbury
+    solves and logdet M = n·logdet Σt + Σ_j logdet(I_m + γ_j RᵀR)."""
+    parts = icm_whitened_parts(K, B, St, rank, roots=roots)
+    R, gam, P, P_inv = (parts["R"], parts["gam"], parts["P"],
+                        parts["P_inv"])
+    C_inv, logdet_M = parts["C_inv"], parts["logdet_M"]
 
     def minv(V):                                                 # (..., n, t)
         W2 = jnp.matmul(V, P_inv.T, precision=_HIGHEST)          # eigenbasis
@@ -653,6 +665,41 @@ def _icm_nystrom_parts(K, B, St, rank: int, roots=None):
         return jnp.matmul(W2 - corr, P_inv, precision=_HIGHEST)
 
     return R, P, gam, minv, logdet_M
+
+
+def icm_nystrom_posterior_variance(K_star, kss, B, Sigma_t, parts,
+                                   noise: bool = True):
+    """Conservative ICM posterior variance diag through M_up = Q⊗B + I⊗St_up
+    (``parts`` = :func:`icm_whitened_parts` of M_up, i.e. built with the
+    inflated St_up ⪰ Σt so M_up ⪰ Σ and the correction under-shoots).
+
+    The Kronecker structure separates test-point and task factors — with
+    M_up⁻¹ = (I⊗P⁻ᵀ) blockdiag_j(γ_j Q + I)⁻¹ (I⊗P⁻¹) and cross-covariance
+    k_c ⊗ B per test point c:
+
+        corr[c] = Σ_j s_cj · g_j g_jᵀ,          g_j = B P⁻ᵀ e_j,
+        s_cj = k_cᵀ(γ_j Q + I)⁻¹ k_c = ‖k_c‖² − γ_j u_c C_j⁻¹ u_cᵀ,
+        u = K_* R  (Woodbury on Q = R Rᵀ).
+
+    Cost: one (n*, n)·(n, m) matmul + an (n*, t, m²) quadratic form — never
+    a (t, n*, n) broadcast (the generic pseudo-LMC fallback costs t²× this
+    and runs out of HBM at SARCOS scale). ``prior``/``noise`` use the TRUE
+    Σt; only the solve runs through St_up, keeping the result ≥ the exact
+    posterior variance."""
+    R, gam = parts["R"], parts["gam"]
+    P_inv, C_inv = parts["P_inv"], parts["C_inv"]
+    u = jnp.matmul(K_star, R, precision=_HIGHEST)                # (n*, m)
+    kk2 = jnp.sum(K_star * K_star, axis=-1)                      # (n*,)
+    quad = jnp.einsum("cm,jmk,ck->cj", u, C_inv, u,
+                      precision=_HIGHEST)                        # (n*, t)
+    s = jnp.clip(kk2[:, None] - gam[None, :] * quad, 0.0)
+    G2 = jnp.matmul(B, P_inv.T, precision=_HIGHEST)              # cols g_j
+    corr = jnp.matmul(s, (G2 * G2).T, precision=_HIGHEST)        # (n*, t)
+    prior = kss[:, None] * jnp.diagonal(B)[None, :]
+    var = jnp.clip(prior - corr, 1e-12)
+    if noise:
+        var = var + jnp.diagonal(Sigma_t)[None, :]
+    return var
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))

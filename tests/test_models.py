@@ -399,6 +399,21 @@ class TestMultitaskSGPR:
         np.testing.assert_allclose(np.asarray(pf_.variance), vd,
                                    rtol=2e-2, atol=1e-4)
 
+    def test_icm_iterative_stale_roots_rank(self):
+        """Caller-supplied (possibly stale) preconditioner roots of a rank
+        different from the default must not shape-clash with the probe draw:
+        the probe rank is derived from the roots actually used."""
+        X, Y, _, _ = make_data(n=48, p=3, q=2)
+        lik = pl.MultitaskGaussianLikelihood(num_tasks=3, rank=0)
+        m = pl.MultitaskGPModel(X, Y, lik, n_tasks=3, n_latents=2,
+                                model_type="ICM")
+        roots = m._precond_roots(m.train_x, 12)        # rank 12 != 256
+        v_dense = float(m.mll(iterative=False))
+        v = float(m.mll(iterative=True, key=jax.random.PRNGKey(0),
+                        precond_roots=roots, num_probes=24,
+                        max_cg_iters=400, cg_tol=1e-10))
+        assert abs(v - v_dense) / abs(v_dense) < 2e-2
+
     def test_iterative_routing_threshold(self):
         """LMC auto-routes to the CG+SLQ path above DENSE_QN_MAX and the two
         paths agree on the MLL value."""
