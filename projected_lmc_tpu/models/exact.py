@@ -158,14 +158,82 @@ class ExactGPModel(Module):
         return -0.5 * (jnp.sum(z * z, axis=-1) + logdet_from_chol(L)
                        + n * math.log(2 * math.pi))
 
-    def mll(self, x=None, y=None):
+    # dense batched-Cholesky ceiling for the iterative routing: T·n² fp32
+    # elements ≈ 4 GB — above it the batched factorization (workspace
+    # included) no longer fits a 16 GB chip comfortably
+    ITER_TN2_MAX = 2 ** 30
+
+    def mll(self, x=None, y=None, iterative: bool = None, key=None,
+            num_probes: int = 10, max_cg_iters: int = 256,
+            cg_tol: float = 1e-2, matvec_bf16: bool = False,
+            precond_rank: int = 256):
         """Exact marginal log-likelihood, summed over the task batch and scaled
         by 1/n (gpytorch ExactMarginalLogLikelihood semantics for the scalar
-        losses used in experiments.py:267). Includes hyper-prior terms."""
-        x = self.train_x if x is None else x
-        n = (self.train_x if x is None else x).shape[0]
-        ll = self.log_marginal(y=y, x=x)
-        return (jnp.sum(ll) + self.covar_module.prior_log_prob()) / n
+        losses used in experiments.py:267). Includes hyper-prior terms.
+
+        Above the dense-Cholesky memory ceiling (T·n² > ITER_TN2_MAX, or
+        ``iterative=True``) the batch of independent GPs is evaluated
+        matrix-free with the same fused PCG+Lanczos-quadrature machinery as
+        :class:`MultitaskGPModel` — it IS the LMC Σ_b K_b ⊗ e_b e_bᵀ +
+        I ⊗ diag(σ²) with identity mixing. gpytorch reaches this scale via
+        its eager CG; the dense batched factorization at n=16k, T=7 is a
+        7 GB stack before workspace. Pass a fresh ``key`` per step (probes
+        are redrawn); ``matvec_bf16`` halves the CG stream."""
+        x_ = self.train_x if x is None else x
+        n = x_.shape[0]
+        if iterative is None:
+            iterative = ((not self.sgpr)
+                         and self.n_funcs * n * n > self.ITER_TN2_MAX)
+        if not iterative or self.sgpr:
+            ll = self.log_marginal(y=y, x=x)
+            return (jnp.sum(ll) + self.covar_module.prior_log_prob()) / n
+        from ..ops import iterative as it_ops
+        from ..ops import fused_mll
+        from .multitask import _fused_stationary_spec
+        y_ = (self.train_y if y is None
+              else _canon_targets(y, self.n_funcs))
+        Ydelta = (y_ - self.mean_module(x_)).T                  # (n, T)
+        T = self.n_funcs
+        H = jnp.eye(T, dtype=x_.dtype)
+        St = jnp.diag(self.likelihood.noise[..., 0])
+        if precond_rank <= 0:
+            precond_rank = 256
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        roots = self._precond_roots(x_, precond_rank)           # (T, n, m)
+        m_rank = int(roots.shape[-1])
+        eps = jax.random.normal(k1, (num_probes, n, T), Ydelta.dtype)
+        xi = jax.random.normal(k2, (num_probes, T, m_rank), Ydelta.dtype)
+        spec = _fused_stationary_spec(self.covar_module, self.dim)
+        if spec is not None:
+            kind, ls, os_ = spec
+            ll = fused_mll.lmc_pcg_log_prob_stationary(
+                jax.lax.stop_gradient(x_), ls, os_, H, St, Ydelta, eps, xi,
+                roots, kind, max_cg_iters, cg_tol, matvec_bf16, m_rank)
+        else:
+            Ks = self.covar_module(x_)
+            if matvec_bf16:
+                Ks = Ks.astype(jnp.bfloat16)
+            ll = it_ops.lmc_pcg_log_prob(Ks, H, St, Ydelta, eps, xi, roots,
+                                         max_cg_iters, cg_tol, matvec_bf16,
+                                         m_rank)
+        return (ll + self.covar_module.prior_log_prob()) / n
+
+    def _precond_roots(self, x, rank: int, jitter: float = 1e-4):
+        """Nyström roots of the batched kernels at strided landmarks,
+        evaluated directly from the (T,n,m)/(T,m,m) cross blocks."""
+        n = x.shape[0]
+        m = min(int(rank), n)
+        idx = jnp.linspace(0, n - 1, m).astype(jnp.int32)
+        z = x[idx]
+        Kzz = self.covar_module(z)                              # (T, m, m)
+        Kxz = self.covar_module(x, z)                           # (T, n, m)
+        Lzz = safe_cholesky(Kzz + jitter * jnp.eye(m, dtype=Kzz.dtype))
+        Linv = solve_triangular(
+            Lzz, jnp.broadcast_to(jnp.eye(m, dtype=Kzz.dtype), Lzz.shape),
+            lower=True)
+        return jnp.einsum("bnk,bmk->bnm", Kxz, Linv, precision=_HIGHEST)
 
     def _sgpr_log_prob(self, x, delta, noise):
         """Titsias SGPR bound per task: log N(y; m, Q+σ²I) − tr(K−Q)/(2σ²)."""

@@ -81,6 +81,34 @@ class TestExactGP:
         s2, ym = m2.compute_loo()
         assert s2.shape == (60, 3) and bool(jnp.all(s2 > 0))
 
+    def test_batch_exact_iterative_mll_matches_dense(self):
+        """Matrix-free batched-exact MLL (the T·n² > ITER_TN2_MAX route —
+        the regime gpytorch reaches via eager CG while the dense batched
+        Cholesky stack no longer fits HBM): with tight CG it equals the
+        dense per-task value, and gradients agree."""
+        X, Y, _, _ = make_data(n=70, p=3, q=2)
+        lik = pl.GaussianLikelihood(batch_shape=3)
+        m = pl.ExactGPModel(X, Y, lik, n_tasks=3, kernel_type="matern")
+        v_dense = float(m.mll())
+        v_iter = float(m.mll(iterative=True, key=jax.random.PRNGKey(0),
+                             num_probes=30, max_cg_iters=400, cg_tol=1e-10,
+                             precond_rank=24))
+        assert abs(v_iter - v_dense) / abs(v_dense) < 2e-2
+        # gradient direction agrees on the lengthscale
+        def gd(iterative):
+            def f(ls):
+                mm = m.replace(covar_module=m.covar_module.replace(
+                    raw_lengthscale=ls))
+                return mm.mll(iterative=iterative,
+                              key=jax.random.PRNGKey(1), num_probes=30,
+                              max_cg_iters=400, cg_tol=1e-10,
+                              precond_rank=24)
+            return np.asarray(jax.grad(f)(m.covar_module.raw_lengthscale))
+        g0, g1 = gd(False), gd(True)
+        cos = float((g0 * g1).sum()
+                    / (np.linalg.norm(g0) * np.linalg.norm(g1) + 1e-30))
+        assert cos > 0.99, cos
+
     def test_sgpr_inducing(self):
         X, Y, F, _ = make_data(n=120, p=1, q=1)
         lik = pl.GaussianLikelihood(batch_shape=1)
