@@ -6,8 +6,9 @@ variational-strategy object graph collapses here to explicit batched math:
 
   whitened (default):   q(f_b) = N(A_b m_b, K_b − A_b A_bᵀ + A_b S_b A_bᵀ),
                         A_b = K_xz,b L_zz,b⁻ᵀ,  KL = KL(N(m,S) ‖ N(0,I))
-  unwhitened (train_ind_ratio == 1, reference :724-729): inducing points fixed
-                        at the training inputs, q(u) in function space,
+  unwhitened (``var_strat="unwhitened"``, reference :696,738; forced when
+                        train_ind_ratio == 1 with inducing fixed at the
+                        training inputs, :724-729): q(u) in function space,
                         KL = KL(N(m,S) ‖ N(0,K_zz))
 
 Inducing points are **shared across latents** and initialized by scrambled
@@ -49,6 +50,7 @@ class VariationalMultitaskGPModel(Module):
                  kernel_type="rbf", outputscales: bool = False, decomp=None,
                  likelihood: MultitaskGaussianLikelihood = None,
                  ker_kwargs=None, distrib: str = "cholesky",
+                 var_strat: str = "default",
                  ind_point_method: str = "lhc", **kwargs):
         train_x = jnp.asarray(train_x)
         if train_x.ndim == 1:
@@ -68,10 +70,21 @@ class VariationalMultitaskGPModel(Module):
         self.train_y = train_y
         self.n_tasks, self.n_latents = int(n_tasks), int(n_latents)
 
-        self.whitened = float(train_ind_ratio) != 1.0
-        if not self.whitened:
+        # Strategy choice (projected_lmc.py:696,738 ``var_strat``): the
+        # reference takes the gpytorch strategy class; here it is a string —
+        # "whitened" (VariationalStrategy, the reference default),
+        # "unwhitened" (UnwhitenedVariationalStrategy), or "default" which
+        # resolves to whitened unless train_ind_ratio == 1 (the reference
+        # forces unwhitened there, :728, for compatibility).
+        if var_strat not in ("default", "whitened", "unwhitened"):
+            raise ValueError(f"unknown variational strategy {var_strat!r}")
+        ratio_one = float(train_ind_ratio) == 1.0
+        self.whitened = (not ratio_one if var_strat == "default"
+                         else var_strat == "whitened")
+        if ratio_one:
             # inducing fixed at train inputs, unwhitened strategy + Cholesky
             # distribution forced (:724-729)
+            self.whitened = False
             inducing = train_x
             self._frozen_params_ = ("inducing_points",)
             distrib = "cholesky"
@@ -125,22 +138,27 @@ class VariationalMultitaskGPModel(Module):
             self.lmc_coeffs = jnp.asarray(
                 rng.standard_normal((n_latents, n_tasks)), dtype)
 
-        if not self.whitened:
+        if not self.whitened and self.distrib != "delta":
             # unwhitened prior is N(0, K_zz): start q(u) at the prior
             # (host-side escalating-jitter Cholesky for the one-time init;
             # starts at the runtime prior jitter of _kernel_factors so that
             # S == K_zz + jitter·I exactly and the initial KL is zero)
             Kzz = np.asarray(self.covar_module(inducing), np.float64)
-            jitter = 1e-6
-            while True:
-                try:
-                    chol = np.linalg.cholesky(Kzz + jitter * np.eye(m))
-                    break
-                except np.linalg.LinAlgError:
-                    jitter *= 10
-                    if jitter > 1e2:
-                        raise
-            self.var_chol = jnp.asarray(chol, dtype)
+            if self.distrib == "mean_field":
+                self.var_chol_diag = jnp.asarray(
+                    np.sqrt(np.clip(np.diagonal(Kzz, axis1=-2, axis2=-1),
+                                    1e-12, None)), dtype)
+            else:
+                jitter = 1e-6
+                while True:
+                    try:
+                        chol = np.linalg.cholesky(Kzz + jitter * np.eye(m))
+                        break
+                    except np.linalg.LinAlgError:
+                        jitter *= 10
+                        if jitter > 1e2:
+                            raise
+                self.var_chol = jnp.asarray(chol, dtype)
 
     def lmc_coefficients(self):
         return np.asarray(self.lmc_coeffs)
@@ -207,9 +225,16 @@ class VariationalMultitaskGPModel(Module):
         m = self.var_mean.shape[-1]
         if S_chol is None:
             # delta distribution: KL(δ_m ‖ p) := −log p(m) (gpytorch's
-            # MAP convention; only reachable whitened, prior N(0, I))
-            quad = jnp.sum(self.var_mean * self.var_mean, axis=-1)
-            return jnp.sum(0.5 * (quad + m * math.log(2 * math.pi)))
+            # MAP convention); prior is N(0, I) whitened, N(0, K_zz) not
+            if self.whitened:
+                quad = jnp.sum(self.var_mean * self.var_mean, axis=-1)
+                return jnp.sum(0.5 * (quad + m * math.log(2 * math.pi)))
+            Lzz = self._kernel_factors()
+            w = solve_triangular(Lzz, self.var_mean[..., None],
+                                 lower=True)[..., 0]
+            quad = jnp.sum(w * w, axis=-1)
+            logdet_K = logdet_from_chol(Lzz)
+            return jnp.sum(0.5 * (quad + logdet_K + m * math.log(2 * math.pi)))
         diag = jnp.diagonal(S_chol, axis1=-2, axis2=-1)
         logdet_S = jnp.sum(jnp.log(diag * diag), axis=-1)
         if self.whitened:

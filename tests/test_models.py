@@ -564,6 +564,80 @@ class TestVariational:
                                            distrib="mean_field")
         assert m.distrib == "cholesky"   # reference forces it (:724-729)
 
+    def test_var_strat_unwhitened_with_inducing(self):
+        """``var_strat`` argument (projected_lmc.py:696,738): unwhitened
+        strategy with a free LHC inducing set. q(u) initializes at the prior
+        N(0, K_zz) -> KL == 0, and the two parametrizations are the same
+        model: mapping whitened params (w, S_w) to u-space via u = L_zz w,
+        S_u = L_zz S_w L_zzᵀ must reproduce the posterior, KL, and ELBO
+        exactly. (Optimization QUALITY is not asserted — the unwhitened
+        landscape is ill-conditioned through chol(K_zz), which is why
+        gpytorch and the reference default to whitened at ratio != 1.)"""
+        X, Y, F, _ = make_data(n=90, p=4, q=2)
+        kw = dict(n_latents=2, n_tasks=4, train_y=Y, init_lmc_coeffs=True,
+                  train_ind_ratio=1.5, kernel_type="matern", mean_type="zero")
+        mu = pl.VariationalMultitaskGPModel(X, var_strat="unwhitened", **kw)
+        assert not mu.whitened and mu.inducing_points.shape[0] == 60
+        np.testing.assert_allclose(float(mu.kl_divergence()), 0.0, atol=1e-6)
+
+        # train the whitened model, map its params into u-space
+        mw = pl.VariationalMultitaskGPModel(X, **kw)
+        mw, _ = fit(mw, lambda mm: mm.elbo(), n_iter=300, lr=0.05,
+                    patience=100)
+        Lzz = mw._kernel_factors()
+        Sw = jnp.tril(mw.var_chol)
+        mu = mu.replace(
+            inducing_points=mw.inducing_points,
+            covar_module=mw.covar_module, likelihood=mw.likelihood,
+            lmc_coeffs=mw.lmc_coeffs,
+            output_mean_module=mw.output_mean_module,
+            var_mean=jnp.matmul(Lzz, mw.var_mean[..., None])[..., 0],
+            var_chol=jnp.matmul(Lzz, Sw))
+        pm_w, pv_w = mw.compute_latent_distrib(X)
+        pm_u, pv_u = mu.compute_latent_distrib(X)
+        np.testing.assert_allclose(np.asarray(pm_u), np.asarray(pm_w),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(pv_u), np.asarray(pv_w),
+                                   atol=1e-5)
+        np.testing.assert_allclose(float(mu.kl_divergence()),
+                                   float(mw.kl_divergence()), rtol=1e-5)
+        np.testing.assert_allclose(float(mu.elbo()), float(mw.elbo()),
+                                   rtol=1e-6)
+
+    def test_var_strat_default_and_validation(self):
+        X, Y, _, _ = make_data(n=30, p=3, q=2)
+        kw = dict(n_latents=2, n_tasks=3, train_y=Y, mean_type="zero",
+                  train_ind_ratio=1.5)
+        md = pl.VariationalMultitaskGPModel(X, **kw)
+        mw = pl.VariationalMultitaskGPModel(X, var_strat="whitened", **kw)
+        assert md.whitened and mw.whitened
+        np.testing.assert_allclose(float(md.elbo()), float(mw.elbo()),
+                                   rtol=1e-12)
+        # ratio == 1 forces unwhitened regardless (:728)
+        mu = pl.VariationalMultitaskGPModel(
+            X, n_latents=2, n_tasks=3, train_y=Y, mean_type="zero",
+            train_ind_ratio=1.0, var_strat="whitened")
+        assert not mu.whitened
+        with pytest.raises(ValueError):
+            pl.VariationalMultitaskGPModel(X, var_strat="bogus", **kw)
+
+    def test_var_strat_unwhitened_mean_field(self):
+        """mean_field + unwhitened: diag init is sqrt(diag K_zz); ELBO and
+        KL are finite and training moves the diagonal."""
+        X, Y, _, _ = make_data(n=48, p=3, q=2)
+        m = pl.VariationalMultitaskGPModel(
+            X, n_latents=2, n_tasks=3, train_y=Y, train_ind_ratio=2.0,
+            mean_type="zero", var_strat="unwhitened", distrib="mean_field")
+        Kzz = np.asarray(m.covar_module(m.inducing_points))
+        np.testing.assert_allclose(
+            np.asarray(m.var_chol_diag),
+            np.sqrt(np.diagonal(Kzz, axis1=-2, axis2=-1)), rtol=1e-5)
+        assert np.isfinite(float(m.elbo()))
+        assert np.isfinite(float(m.kl_divergence()))
+        m2, info = fit(m, lambda mm: mm.elbo(), n_iter=150, lr=0.05,
+                       patience=50)
+        assert info["losses"][-1] < info["losses"][0]
+
     def test_sobol_inducing_points(self):
         """README-documented Sobol' alternative for the inducing design."""
         X, Y, _, _ = make_data(n=64, p=3, q=2)
