@@ -311,3 +311,117 @@ class TestProjectedParity:
         exp_var = lat_var.T @ (QR_.T**2) + np.diag(Sigma)[None, :]
         np.testing.assert_allclose(np.asarray(var), exp_var, rtol=1e-6,
                                    atol=1e-9)
+
+
+class TestVariationalParity:
+    """Whitened/unwhitened SVGP-LMC ELBO + latent posterior vs a torch-fp64
+    oracle implementing the standard sparse-variational equations from
+    scratch (gpytorch VariationalELBO semantics, projected_lmc.py:686-813).
+    Hyperparameters and variational parameters are SET identically on both
+    sides; the oracle shares no code with the JAX package."""
+
+    def _setup(self, var_strat):
+        from projected_lmc_tpu.models.variational import VariationalMultitaskGPModel
+        X, Y, Xs = data(n=16, p=4, q=2, seed=3)
+        n, p, q = 16, 4, 2
+        rng = np.random.default_rng(7)
+        ls = np.array([[0.8, 1.2], [0.6, 1.0]])
+        task_noises = np.array([0.02, 0.03, 0.04, 0.05])
+        global_noise = 0.01
+        W = rng.standard_normal((q, p))
+
+        lik = pl.MultitaskGaussianLikelihood(num_tasks=p, rank=0,
+                                             dtype=jnp.float64)
+        lik = lik.set_noise(global_noise).replace(
+            raw_task_noises=lik.constraint.inverse(jnp.asarray(task_noises)))
+        m = VariationalMultitaskGPModel(
+            jnp.asarray(X), n_latents=q, n_tasks=p, train_y=jnp.asarray(Y),
+            train_ind_ratio=2.0, kernel_type="matern", mean_type="zero",
+            likelihood=lik, var_strat=var_strat)
+        n_ind = m.inducing_points.shape[0]
+        vm = rng.standard_normal((q, n_ind))
+        vc = np.tril(0.1 * rng.standard_normal((q, n_ind, n_ind)))
+        for b in range(q):
+            np.fill_diagonal(vc[b], np.abs(np.diag(vc[b])) + 0.5)
+        m = m.replace(
+            covar_module=m.covar_module.set_lengthscale(
+                jnp.asarray(ls)[:, None, :]),
+            lmc_coeffs=jnp.asarray(W),
+            var_mean=jnp.asarray(vm), var_chol=jnp.asarray(vc))
+        Z = np.asarray(m.inducing_points)
+        Sigma_t = np.diag(task_noises) + global_noise * np.eye(p)
+        return m, (X, Y, Xs, Z, ls, W, vm, vc, Sigma_t, n, p, q, n_ind)
+
+    def _oracle_latent(self, X, Z, ls, vm, vc, whitened):
+        """Returns per-latent (mean (q,n), var (q,n)) plus the KL, in torch."""
+        tX, tZ = torch.as_tensor(X), torch.as_tensor(Z)
+        q, n_ind = vm.shape[0], Z.shape[0]
+        means, varis, kl = [], [], 0.0
+        for b in range(q):
+            tls = torch.as_tensor(ls[b])
+            Kzz = t_matern25(tZ, tZ, tls) + 1e-6 * torch.eye(n_ind)
+            Kxz = t_matern25(tX, tZ, tls)
+            kxx = t_matern25(tX, tX, tls).diagonal()
+            L = torch.linalg.cholesky(Kzz)
+            S_chol = torch.as_tensor(vc[b])
+            mb = torch.as_tensor(vm[b])
+            if whitened:
+                A = torch.linalg.solve_triangular(L, Kxz.T, upper=False).T
+                mean = A @ mb
+                AS = A @ S_chol
+                var = kxx - (A * A).sum(-1) + (AS * AS).sum(-1)
+                kl = kl + 0.5 * ((S_chol * S_chol).sum() + mb @ mb - n_ind
+                                 - S_chol.diagonal().pow(2).log().sum())
+            else:
+                interp = torch.cholesky_solve(Kxz.T, L).T
+                mean = interp @ mb
+                ILz = interp @ L
+                IS = interp @ S_chol
+                var = kxx - (ILz * ILz).sum(-1) + (IS * IS).sum(-1)
+                iLS = torch.linalg.solve_triangular(L, S_chol, upper=False)
+                w = torch.linalg.solve_triangular(L, mb[:, None],
+                                                  upper=False)[:, 0]
+                kl = kl + 0.5 * ((iLS * iLS).sum() + w @ w - n_ind
+                                 + 2 * L.diagonal().log().sum()
+                                 - S_chol.diagonal().pow(2).log().sum())
+            means.append(mean)
+            varis.append(var.clamp_min(1e-12))
+        return torch.stack(means), torch.stack(varis), kl
+
+    @pytest.mark.parametrize("var_strat", ["whitened", "unwhitened"])
+    def test_elbo_and_latent_posterior(self, var_strat):
+        m, (X, Y, Xs, Z, ls, W, vm, vc, Sigma_t, n, p, q, n_ind) = \
+            self._setup(var_strat)
+        mean_o, var_o, kl_o = self._oracle_latent(
+            X, Z, ls, vm, vc, whitened=(var_strat == "whitened"))
+
+        mean_j, var_j = m.compute_latent_distrib(jnp.asarray(X))
+        np.testing.assert_allclose(np.asarray(mean_j), mean_o.numpy(),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(var_j), var_o.numpy(),
+                                   atol=1e-9)
+        np.testing.assert_allclose(float(m.kl_divergence()), float(kl_o),
+                                   rtol=1e-10)
+
+        # expected log-likelihood under the multitask Gaussian noise
+        tW = torch.as_tensor(W)
+        tSig = torch.as_tensor(Sigma_t)
+        delta = torch.as_tensor(Y) - mean_o.T @ tW
+        Sinv = torch.linalg.inv(tSig)
+        quad = (delta @ Sinv * delta).sum()
+        wsw = (tW @ Sinv @ tW.T).diagonal()
+        trace = (var_o * wsw[:, None]).sum()
+        logdet = torch.linalg.slogdet(tSig)[1]
+        exp_ll = -0.5 * (quad + trace + n * (logdet + p * math.log(2 * math.pi)))
+        elbo_o = float(exp_ll - kl_o) / n
+        np.testing.assert_allclose(float(m.elbo()), elbo_o, rtol=1e-10)
+
+        # task-level prediction at held-out points
+        pred = m(jnp.asarray(Xs), observed=True)
+        mean_s, var_s, _ = self._oracle_latent(
+            Xs, Z, ls, vm, vc, whitened=(var_strat == "whitened"))
+        exp_mean = mean_s.numpy().T @ W
+        exp_var = var_s.numpy().T @ (W * W) + np.diag(Sigma_t)[None, :]
+        np.testing.assert_allclose(np.asarray(pred.mean), exp_mean, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(pred.variance), exp_var,
+                                   atol=1e-9)
