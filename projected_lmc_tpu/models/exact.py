@@ -178,13 +178,35 @@ class ExactGPModel(Module):
         I ⊗ diag(σ²) with identity mixing. gpytorch reaches this scale via
         its eager CG; the dense batched factorization at n=16k, T=7 is a
         7 GB stack before workspace. Pass a fresh ``key`` per step (probes
-        are redrawn); ``matvec_bf16`` halves the CG stream."""
+        are redrawn); ``matvec_bf16`` halves the CG stream.
+
+        ``precond_rank <= 0`` selects the default Nyström rank min(256, n)
+        (the batched-exact route always runs preconditioned). On an SGPR
+        model ``iterative=True`` raises: the Titsias bound is already
+        matrix-free in n and would ignore every CG kwarg."""
         x_ = self.train_x if x is None else x
         n = x_.shape[0]
+        if iterative and self.sgpr:
+            raise ValueError(
+                "iterative=True is not available on an SGPR model: the "
+                "Titsias bound is already matrix-free in n (its dense work "
+                "is m×m), and the CG/probe kwargs would be silently "
+                "ignored. Drop iterative/num_probes/max_cg_iters/... or "
+                "build the model without n_inducing_points.")
         if iterative is None:
             iterative = ((not self.sgpr)
                          and self.n_funcs * n * n > self.ITER_TN2_MAX)
-        if not iterative or self.sgpr:
+            if iterative:
+                import warnings
+                warnings.warn(
+                    "ExactGPModel.mll: T·n² exceeds the dense-Cholesky "
+                    "ceiling — auto-routing to the matrix-free PCG/SLQ "
+                    "estimator. The MLL becomes stochastic: thread a fresh "
+                    "`key` per optimizer step (with key=None the probes are "
+                    "frozen at PRNGKey(0), a fixed-realization objective); "
+                    "pass iterative=False to force the dense path.",
+                    stacklevel=2)
+        if not iterative:
             ll = self.log_marginal(y=y, x=x)
             return (jnp.sum(ll) + self.covar_module.prior_log_prob()) / n
         from ..ops import iterative as it_ops
@@ -197,7 +219,11 @@ class ExactGPModel(Module):
         H = jnp.eye(T, dtype=x_.dtype)
         St = jnp.diag(self.likelihood.noise[..., 0])
         if precond_rank <= 0:
-            precond_rank = 256
+            # this route always needs Nyström roots (the unpreconditioned
+            # SLQ fallback exists only on MultitaskGPModel's LMC route), so
+            # <= 0 selects the default rank — same convention as the ICM
+            # iterative route (multitask.py)
+            precond_rank = min(256, n)
         if key is None:
             key = jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(key)
@@ -221,19 +247,10 @@ class ExactGPModel(Module):
         return (ll + self.covar_module.prior_log_prob()) / n
 
     def _precond_roots(self, x, rank: int, jitter: float = 1e-4):
-        """Nyström roots of the batched kernels at strided landmarks,
-        evaluated directly from the (T,n,m)/(T,m,m) cross blocks."""
-        n = x.shape[0]
-        m = min(int(rank), n)
-        idx = jnp.linspace(0, n - 1, m).astype(jnp.int32)
-        z = x[idx]
-        Kzz = self.covar_module(z)                              # (T, m, m)
-        Kxz = self.covar_module(x, z)                           # (T, n, m)
-        Lzz = safe_cholesky(Kzz + jitter * jnp.eye(m, dtype=Kzz.dtype))
-        Linv = solve_triangular(
-            Lzz, jnp.broadcast_to(jnp.eye(m, dtype=Kzz.dtype), Lzz.shape),
-            lower=True)
-        return jnp.einsum("bnk,bmk->bnm", Kxz, Linv, precision=_HIGHEST)
+        """Nyström roots of the batched task kernels at strided landmarks
+        (ops/iterative.nystrom_roots_from_covar)."""
+        from ..ops.iterative import nystrom_roots_from_covar
+        return nystrom_roots_from_covar(self.covar_module, x, rank, jitter)
 
     def _sgpr_log_prob(self, x, delta, noise):
         """Titsias SGPR bound per task: log N(y; m, Q+σ²I) − tr(K−Q)/(2σ²)."""

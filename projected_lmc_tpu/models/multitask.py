@@ -165,21 +165,10 @@ class MultitaskGPModel(Module):
             solve_triangular(Lzz, jnp.swapaxes(Kxz, -1, -2), lower=True), -1, -2)
 
     def _precond_roots(self, x, rank: int, jitter: float = 1e-4):
-        """Nyström roots of the latent kernels at strided landmarks, evaluated
-        DIRECTLY from the kernel (the (q,n,m)/(q,m,m) cross blocks) — slicing
-        them out of the materialized (q,n,n) stack is a strided read of the
-        whole stack (~7.5 ms at n=10⁴ per step on a v5e)."""
-        n = x.shape[0]
-        m = min(int(rank), n)
-        idx = jnp.linspace(0, n - 1, m).astype(jnp.int32)
-        z = x[idx]
-        Kzz = self.covar_module(z)                          # (k, m, m)
-        Kxz = self.covar_module(x, z)                       # (k, n, m)
-        Lzz = safe_cholesky(Kzz + jitter * jnp.eye(m, dtype=Kzz.dtype))
-        Linv = solve_triangular(
-            Lzz, jnp.broadcast_to(jnp.eye(m, dtype=Kzz.dtype), Lzz.shape),
-            lower=True)
-        return jnp.einsum("bnk,bmk->bnm", Kxz, Linv, precision=_HIGHEST)
+        """Nyström roots of the latent kernels at strided landmarks
+        (ops/iterative.nystrom_roots_from_covar)."""
+        return it_ops.nystrom_roots_from_covar(
+            self.covar_module, x, rank, jitter)
 
     def _sgpr_structure(self, x):
         """(roots_eff, H_eff, St_eff, titsias) for the low-rank Woodbury MLL.

@@ -207,16 +207,22 @@ class VariationalMultitaskGPModel(Module):
         # unwhitened: interp = K_xz K_zz^{-1}
         interp = jnp.swapaxes(cho_solve(Lzz, jnp.swapaxes(Kxz, -1, -2)), -1, -2)
         mean = jnp.matmul(interp, self.var_mean[..., None], precision=_HIGHEST)[..., 0]
-        IS = jnp.matmul(interp, S_chol, precision=_HIGHEST)
+        # delta distribution: S = 0, so the +interp S interpᵀ term vanishes
+        IS = None if S_chol is None else jnp.matmul(interp, S_chol,
+                                                    precision=_HIGHEST)
         # cov = Kxx − interp (Kzz − S) interpᵀ = Kxx − (interp Lzz)(interp Lzz)ᵀ + IS ISᵀ
         ILz = jnp.matmul(interp, Lzz, precision=_HIGHEST)
         if full_cov:
             Kxx = self.covar_module(x)
-            cov = Kxx - jnp.matmul(ILz, jnp.swapaxes(ILz, -1, -2), precision=_HIGHEST) \
-                + jnp.matmul(IS, jnp.swapaxes(IS, -1, -2), precision=_HIGHEST)
+            cov = Kxx - jnp.matmul(ILz, jnp.swapaxes(ILz, -1, -2), precision=_HIGHEST)
+            if IS is not None:
+                cov = cov + jnp.matmul(IS, jnp.swapaxes(IS, -1, -2),
+                                       precision=_HIGHEST)
             return mean, cov
         kdiag = self.covar_module(x, diag=True)
-        var = kdiag - jnp.sum(ILz * ILz, axis=-1) + jnp.sum(IS * IS, axis=-1)
+        var = kdiag - jnp.sum(ILz * ILz, axis=-1)
+        if IS is not None:
+            var = var + jnp.sum(IS * IS, axis=-1)
         return mean, jnp.clip(var, min=1e-12)
 
     def kl_divergence(self):

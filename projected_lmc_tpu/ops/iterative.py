@@ -875,3 +875,25 @@ def nystrom_roots_from_kernels(Ks, rank: int = 256, jitter: float = 1e-4):
         Lmm, jnp.broadcast_to(jnp.eye(m, dtype=dt), Lmm.shape),
         lower=True)
     return jnp.einsum("bnk,bmk->bnm", Knm, Linv, precision=_HIGHEST)
+
+
+def nystrom_roots_from_covar(covar, x, rank: int, jitter: float = 1e-4):
+    """Strided-landmark Nyström roots evaluated DIRECTLY from a batched
+    kernel callable's (b, n, m)/(b, m, m) cross blocks, (b, n, rank).
+
+    Slicing the landmark blocks out of a materialized (b, n, n) stack is a
+    strided read of the whole stack (~7.5 ms at n=10⁴ per step on a v5e);
+    evaluating only the cross blocks sidesteps it. Shared by the exact and
+    multitask models' preconditioner construction."""
+    from .cholesky import safe_cholesky
+    n = x.shape[0]
+    m = min(int(rank), n)
+    idx = jnp.linspace(0, n - 1, m).astype(jnp.int32)
+    z = x[idx]
+    Kzz = covar(z)                                   # (b, m, m)
+    Kxz = covar(x, z)                                # (b, n, m)
+    Lzz = safe_cholesky(Kzz + jitter * jnp.eye(m, dtype=Kzz.dtype))
+    Linv = jax.scipy.linalg.solve_triangular(
+        Lzz, jnp.broadcast_to(jnp.eye(m, dtype=Kzz.dtype), Lzz.shape),
+        lower=True)
+    return jnp.einsum("bnk,bmk->bnm", Kxz, Linv, precision=_HIGHEST)

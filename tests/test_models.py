@@ -109,6 +109,36 @@ class TestExactGP:
                     / (np.linalg.norm(g0) * np.linalg.norm(g1) + 1e-30))
         assert cos > 0.99, cos
 
+    def test_sgpr_iterative_request_raises(self):
+        """iterative=True on an SGPR model must fail loudly — the Titsias
+        bound would silently drop every CG kwarg otherwise."""
+        X, Y, _, _ = make_data(n=40, p=1, q=1)
+        lik = pl.GaussianLikelihood(batch_shape=1)
+        m = pl.ExactGPModel(X, Y[:, 0], lik, n_tasks=1, n_inducing_points=10)
+        with pytest.raises(ValueError, match="SGPR"):
+            m.mll(iterative=True)
+        # the auto-route (iterative=None) still lands on the Titsias bound
+        assert np.isfinite(float(m.mll()))
+
+    def test_auto_iterative_warns_and_default_rank(self, monkeypatch):
+        """Crossing ITER_TN2_MAX silently changed mll() semantics (exact ->
+        stochastic estimator); it must now warn. precond_rank<=0 selects the
+        default Nyström rank (same convention as the ICM iterative route)."""
+        X, Y, _, _ = make_data(n=48, p=2, q=2)
+        lik = pl.GaussianLikelihood(batch_shape=2)
+        m = pl.ExactGPModel(X, Y, lik, n_tasks=2, kernel_type="matern")
+        v_dense = float(m.mll())
+        monkeypatch.setattr(pl.ExactGPModel, "ITER_TN2_MAX", 10)
+        with pytest.warns(UserWarning, match="auto-routing"):
+            v_auto = float(m.mll(key=jax.random.PRNGKey(2), num_probes=30,
+                                 max_cg_iters=400, cg_tol=1e-10))
+        assert abs(v_auto - v_dense) / abs(v_dense) < 5e-2
+        # explicit iterative=True does not warn; rank 0 -> default rank
+        v0 = float(m.mll(iterative=True, key=jax.random.PRNGKey(2),
+                         num_probes=30, max_cg_iters=400, cg_tol=1e-10,
+                         precond_rank=0))
+        np.testing.assert_allclose(v0, v_auto, rtol=1e-6)
+
     def test_sgpr_inducing(self):
         X, Y, F, _ = make_data(n=120, p=1, q=1)
         lik = pl.GaussianLikelihood(batch_shape=1)
@@ -555,6 +585,26 @@ class TestVariational:
         pred = m2(X, observed=True)
         rmse = np.sqrt(np.mean((np.asarray(pred.mean) - F) ** 2))
         assert rmse < 0.2, rmse
+
+    def test_distrib_delta_unwhitened(self):
+        """Regression: delta (S_chol=None) + explicit unwhitened strategy.
+        The posterior must drop the interp·S·interpᵀ term (S=0), not crash,
+        and the full-cov diagonal must equal the diag-var fast path."""
+        X, Y, F, _ = make_data(n=60, p=4, q=2)
+        m = pl.VariationalMultitaskGPModel(
+            X, n_latents=2, n_tasks=4, train_y=Y, init_lmc_coeffs=True,
+            train_ind_ratio=1.5, kernel_type="matern", mean_type="zero",
+            var_strat="unwhitened", distrib="delta")
+        assert not m.whitened and m._S_chol() is None
+        mu, var = m.compute_latent_distrib(X)
+        assert np.all(np.isfinite(np.asarray(mu)))
+        assert np.all(np.asarray(var) >= 0)
+        _, cov = m.compute_latent_distrib(X[:10], full_cov=True)
+        np.testing.assert_allclose(
+            np.diagonal(np.asarray(cov), axis1=-2, axis2=-1),
+            np.asarray(m.compute_latent_distrib(X[:10])[1]),
+            rtol=1e-8, atol=1e-10)
+        assert np.isfinite(float(m.elbo()))
 
     def test_distrib_forced_cholesky_unwhitened(self):
         X, Y, _, _ = make_data(n=20, p=3, q=2)
