@@ -376,7 +376,7 @@ def bench_var_elbo(n=4449, d=21, T=7, q=7, m_ind=500, steps=16, reps=2):
     return round(1.0 / dt, 2)
 
 
-def bench_pallas_delta(n=8192, m=8192, d=4, q=4, reps=6):
+def bench_pallas_delta(n=8192, m=8192, d=4, q=4, reps=12):
     """Fused Pallas kernel-matrix build vs the XLA path, (q, n, m) Matern.
 
     Each measurement dispatches ``reps`` DEPENDENT builds (the next call's
@@ -414,6 +414,16 @@ def bench_pallas_delta(n=8192, m=8192, d=4, q=4, reps=6):
         a, b, l, "matern25", False, jnp.bfloat16))
     t_xla_bf16 = timed(lambda a, b, l: xla_kernel_matrix(
         a, b, l, "matern25").astype(jnp.bfloat16))
+    # the PRODUCTION training-path builder (ops/fused_mll._scaled_stack):
+    # symmetric triangular grid + outputscale epilogue + bf16 write — vs the
+    # equivalent XLA program (full build, scale, cast)
+    from projected_lmc_tpu.ops.pallas_kernels import scaled_kernel_stack_sym
+    os_ = jnp.asarray(rng.uniform(0.5, 2.0, (q,)).astype(np.float32))
+    t_sym = timed(lambda a, b, l: scaled_kernel_stack_sym(
+        a, l, os_, "matern25", jnp.bfloat16))
+    t_xla_sym = timed(lambda a, b, l: (
+        xla_kernel_matrix(a, a, l, "matern25")
+        * os_[:, None, None]).astype(jnp.bfloat16))
     # parity on hardware (max abs error)
     K1 = fused_kernel_matrix(x1[:512], x2[:512], ls, "matern25", False)
     K2 = xla_kernel_matrix(x1[:512], x2[:512], ls, "matern25")
@@ -423,6 +433,9 @@ def bench_pallas_delta(n=8192, m=8192, d=4, q=4, reps=6):
                 pallas_bf16_ms=round(t_pallas_bf16, 2),
                 xla_bf16_ms=round(t_xla_bf16, 2),
                 speedup_bf16=round(t_xla_bf16 / t_pallas_bf16, 2),
+                sym_prod_ms=round(t_sym, 2),
+                xla_sym_equiv_ms=round(t_xla_sym, 2),
+                speedup_sym_prod=round(t_xla_sym / t_sym, 2),
                 max_abs_err=err)
 
 
