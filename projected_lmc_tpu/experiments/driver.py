@@ -10,6 +10,7 @@ export at run landmarks 1, 10, 20, … (experiments.py:71,367-380).
 from __future__ import annotations
 
 import os
+import sys
 import time
 
 import numpy as np
@@ -202,6 +203,10 @@ def run_study(v_test: str = "void", v_test_2: str = "void",
                 v[v_test] = vval
                 v[v_test_2] = vval2
                 run_key = f"_{v_test}_{v_test_2}_{i_v}_{i_v2}"
+                print(f"[run_study] run {i_run + 1}/{n_random_runs} "
+                      f"{v_test}={vval}"
+                      + (f" {v_test_2}={vval2}" if v_test_2 != "void" else ""),
+                      file=sys.stderr, flush=True)
                 q_noise_guess = v["q_noise_guess"] if v_test == "q_noise_guess" \
                     else v["p"]
                 q_mod = v["q"] if v_test != "q_guess" else v["q_guess"]
