@@ -180,9 +180,18 @@ class VariationalMultitaskGPModel(Module):
         Lzz = safe_cholesky(Kzz + 1e-6 * jnp.eye(m, dtype=Kzz.dtype))
         return Lzz
 
-    def compute_latent_distrib(self, x, full_cov: bool = False):
+    def compute_latent_distrib(self, x, full_cov: bool = False,
+                               prior: bool = False):
         """Batched latent posterior q(f_b(x)): returns (mean (q,n), var (q,n))
-        or (mean, cov (q,n,n)) (projected_lmc.py:812-813)."""
+        or (mean, cov (q,n,n)) (projected_lmc.py:812-813). ``prior=True``
+        returns the latent prior at x instead (the reference forwards the flag
+        to the variational strategy, which short-circuits to model.forward)."""
+        if prior:
+            n = jnp.shape(jnp.atleast_2d(x))[0]
+            mean = jnp.zeros((self.n_latents, n), self.inducing_points.dtype)
+            if full_cov:
+                return mean, self.covar_module(x)
+            return mean, jnp.clip(self.covar_module(x, diag=True), min=1e-12)
         Lzz = self._kernel_factors()
         Kxz = self.covar_module(x, self.inducing_points)        # (q, n, m)
         S_chol = self._S_chol()

