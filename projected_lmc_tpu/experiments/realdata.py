@@ -60,6 +60,10 @@ def load_tidal(root: str = None, start_date: str = "2020-06-01",
 
     frame = pd.DataFrame(dico).astype(dtype)
     frame = frame.iloc[::ndiv]
+    # wall-clock dates of the subsampled rows (for the prediction time-series
+    # figure, process_graphs.py:155-201): ref_time is the un-subsampled
+    # timestamp grid aligned with dico's rows
+    dates = pd.to_datetime(ref_time[::ndiv], unit="s").values
     X = frame["time_num"].values[:, None]
     Y = frame.drop("time_num", axis=1).values
     num_days = (datetime.strptime(end_date, "%Y-%m-%d")
@@ -71,7 +75,8 @@ def load_tidal(root: str = None, start_date: str = "2020-06-01",
     return dict(X=X_train, Y=Y_train, X_test=X_test, Y_test=Y_test,
                 kernel_type="spectral_mixture", ker_kwargs={"num_mixtures": 5},
                 n_ind_points=None, q=Y_train.shape[1], loss_thresh=1e-7,
-                n_iter=50000, test_indices=test_idx)
+                n_iter=50000, test_indices=test_idx, dates=dates,
+                stations=stations)
 
 
 def load_ship(root: str = None, ndiv: int = 5, dtype=np.float64):
