@@ -45,6 +45,10 @@ class TestLoaders:
         # held-out window is one day out of 14 on the ÷4 clock
         n_total = len(d["X"]) + len(d["X_test"])
         assert abs(len(d["X_test"]) - n_total // 14) <= 1
+        # figure-7 plumbing: wall-clock dates aligned with the subsampled rows
+        assert len(d["dates"]) >= n_total
+        assert d["stations"][0] == "bramblemet" and len(d["stations"]) == 4
+        assert str(d["dates"][0]).startswith("2020-06-01")
 
     def test_neutro_raises(self):
         with pytest.raises(FileNotFoundError):
