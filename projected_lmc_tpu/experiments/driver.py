@@ -71,7 +71,7 @@ def _maybe_init_sm(model, X, Y, seed=0):
 def build_models(X, Y, q_model, q_noise_guess, models_to_run,
                  kernel_type="matern", mean_type="zero", decomp=None,
                  train_ind_ratio=1.5, n_ind_points=None, ker_kwargs=None,
-                 oilmm_bulk=True, seed=0):
+                 oilmm_bulk=True, seed=0, var_ind_range=None):
     """Instantiate the reference's five model variants."""
     p = Y.shape[1]
     models = {}
@@ -88,7 +88,8 @@ def build_models(X, Y, q_model, q_noise_guess, models_to_run,
         models["var"] = VariationalMultitaskGPModel(
             X, n_latents=q_model, n_tasks=p, train_y=Y, init_lmc_coeffs=True,
             mean_type=mean_type, kernel_type=kernel_type, decomp=decomp,
-            train_ind_ratio=TI_rat, seed=0, likelihood=lik, ker_kwargs=ker_kwargs)
+            train_ind_ratio=TI_rat, seed=0, likelihood=lik,
+            ker_kwargs=ker_kwargs, ind_point_range=var_ind_range)
     for name in ("PLMC", "oilmm", "PLMC_fast"):
         if name in models_to_run:
             cfg = dict(MODEL_CONFIGS[name])
@@ -117,18 +118,36 @@ def _loss_fn_for(name, model):
 def train_and_eval(models, X_test, Y_test, n_iter=100000, lr=1e-2, lr_min=1e-3,
                    loss_thresh=2.5e-6, patience=500, criterion="max",
                    print_metrics=True, print_loss=False, test_mask=None,
-                   block_every=1, scan_steps=None):
-    """Shared training + prediction + metrics (experiments.py:256-347)."""
+                   block_every=1, scan_steps=None, var_fit="adam"):
+    """Shared training + prediction + metrics (experiments.py:256-347).
+
+    ``var_fit="warm_start"`` replaces ELBO gradient training of the
+    variational model with the closed-form SGPR-optimal E-step
+    (VariationalMultitaskGPModel.sgpr_warm_start) — the data-driven kernel
+    initialization supplies the hyperparameters. On real data with
+    spectral-mixture kernels this is the configuration that works: Adam
+    ELBO training collapses from the whitened init (the ELBO is stationary
+    in all interpolant-only parameters there) and the raw mixture
+    bandwidths are too step-size-sensitive for scale-free optimizers — see
+    results/var_tidal_collapse.md for the measured analysis.
+    """
     results = {}
     trained = {}
     for name, model in models.items():
-        loss_fn = _loss_fn_for(name, model)
-        schedule = lambda_lr_schedule(lr_max=lr, lr_min=lr_min)
-        model_t, info = fit(model, loss_fn, n_iter=n_iter, lr=lr,
-                            schedule=schedule, loss_thresh=loss_thresh,
-                            patience=patience, criterion=criterion,
-                            print_loss=print_loss, block_every=block_every,
-                            scan_steps=scan_steps)
+        if (var_fit == "warm_start" and name == "var"
+                and hasattr(model, "sgpr_warm_start")):
+            start = time.time()
+            model_t = model.sgpr_warm_start()
+            info = dict(n_iter=0, train_time=time.time() - start,
+                        losses=[], loss=float(-model_t.elbo()))
+        else:
+            loss_fn = _loss_fn_for(name, model)
+            schedule = lambda_lr_schedule(lr_max=lr, lr_min=lr_min)
+            model_t, info = fit(model, loss_fn, n_iter=n_iter, lr=lr,
+                                schedule=schedule, loss_thresh=loss_thresh,
+                                patience=patience, criterion=criterion,
+                                print_loss=print_loss, block_every=block_every,
+                                scan_steps=scan_steps)
         trained[name] = model_t
 
         start = time.time()

@@ -51,7 +51,8 @@ class VariationalMultitaskGPModel(Module):
                  likelihood: MultitaskGaussianLikelihood = None,
                  ker_kwargs=None, distrib: str = "cholesky",
                  var_strat: str = "default",
-                 ind_point_method: str = "lhc", **kwargs):
+                 ind_point_method: str = "lhc",
+                 ind_point_range=None, **kwargs):
         train_x = jnp.asarray(train_x)
         if train_x.ndim == 1:
             train_x = train_x[:, None]
@@ -91,8 +92,22 @@ class VariationalMultitaskGPModel(Module):
         else:
             n_ind = int(np.floor(n / float(train_ind_ratio)))
             qmc = sobol if ind_point_method == "sobol" else latin_hypercube
-            inducing = jnp.asarray(
-                2.0 * qmc(n_ind, self.dim, seed=seed) - 1.0, dtype)
+            # QMC box: the reference hard-codes [-1,1]^d (projected_lmc.py:
+            # 732-734 — its synthetic inputs live there). ``ind_point_range=
+            # "data"`` scales the box to the per-dimension training-input
+            # range instead (real datasets are rarely in [-1,1]; half the
+            # inducing points would start outside the data support), or pass
+            # an explicit (lo, hi) pair of length-d arrays.
+            u = qmc(n_ind, self.dim, seed=seed)            # in [0, 1]^d
+            if ind_point_range is None:
+                lo, hi = -1.0, 1.0
+            elif ind_point_range == "data":
+                xh = np.asarray(train_x)
+                lo, hi = xh.min(axis=0), xh.max(axis=0)
+            else:
+                lo, hi = ind_point_range
+                lo, hi = np.asarray(lo, np.float64), np.asarray(hi, np.float64)
+            inducing = jnp.asarray(lo + (hi - lo) * u, dtype)
         self.inducing_points = inducing
         m = inducing.shape[0]
 
@@ -162,6 +177,83 @@ class VariationalMultitaskGPModel(Module):
 
     def lmc_coefficients(self):
         return np.asarray(self.lmc_coeffs)
+
+    def sgpr_warm_start(self, noise=None, jitter: float = 1e-6):
+        """Warm-start q(u) at the closed-form SGPR-optimal distribution.
+
+        At the standard init (whitened m=0, S=I) the ELBO is *stationary* in
+        every parameter that enters only through the inducing interpolant —
+        K_xz K_zz^{-1} cancels out of the marginal variance when S == prior —
+        so on hard targets (e.g. an oscillatory tidal series) gradient descent
+        can reach the collapsed optimum (H → 0, likelihood noise = Var(Y))
+        before the variational mean fits anything. gpytorch shares this init
+        and pathology (the reference never trains its variational model on
+        real data). For a Gaussian likelihood the optimal q(u) given the
+        current kernel is available in closed form (Titsias 2009):
+        with per-latent targets ỹ_b = Y H_b^+ (the SVD-initialized mixing
+        matrix's least-squares inverse),
+
+            Σ_b = K_zz + σ⁻² K_zx K_xz,
+            m*_b = σ⁻² K_zz Σ_b^{-1} K_zx ỹ_b,   S*_b = K_zz Σ_b^{-1} K_zz.
+
+        Call AFTER any data-driven kernel initialization (e.g. the spectral-
+        mixture ``initialize_from_data``) — the warm start conditions on the
+        current kernel. One-time host-side O(q·(m³ + m²n)) numpy; returns a
+        new model (pytree modules are immutable).
+        """
+        if self.train_y is None:
+            raise ValueError("sgpr_warm_start requires train_y")
+        m = self.inducing_points.shape[0]
+        H = np.asarray(self.lmc_coeffs, np.float64)             # (q, p)
+        Y = np.asarray(self.train_y, np.float64)                # (n, p)
+        # latent targets: minimum-norm solve of H^T L = Y^T  -> (q, n)
+        L_t, *_ = np.linalg.lstsq(H.T, Y.T, rcond=None)
+        if noise is None:
+            noise = float(np.mean(np.asarray(self.likelihood.task_noises)))
+        z = self.inducing_points
+        Kzz = np.asarray(self.covar_module(z), np.float64)      # (q, m, m)
+        Kzx = np.asarray(self.covar_module(z, self.train_x), np.float64)
+        eye = np.eye(m)
+
+        def chol_ladder(A, j0=jitter):
+            # oscillatory kernels (spectral mixture) give near-singular K_zz
+            # at QMC inducing sets — escalate like the init path above
+            j = j0
+            while True:
+                try:
+                    return np.linalg.cholesky(A + j * eye), j
+                except np.linalg.LinAlgError:
+                    j *= 10
+                    if j > 1e2 * max(1.0, float(np.abs(A).max())):
+                        raise
+
+        var_mean = np.zeros((self.n_latents, m))
+        S_chols = np.zeros((self.n_latents, m, m))
+        for b in range(self.n_latents):
+            Lzz, jb = chol_ladder(Kzz[b])
+            Kb = Kzz[b] + jb * eye
+            Sig = Kb + (Kzx[b] @ Kzx[b].T) / noise
+            m_u = Kb @ np.linalg.solve(Sig, Kzx[b] @ L_t[b]) / noise  # (m,)
+            S_u = Kb @ np.linalg.solve(Sig, Kb)
+            S_u = 0.5 * (S_u + S_u.T)
+            if self.whitened:
+                from scipy.linalg import solve_triangular as st
+                m_w = st(Lzz, m_u, lower=True)
+                S_w = st(Lzz, st(Lzz, S_u, lower=True).T, lower=True)
+                S_b = 0.5 * (S_w + S_w.T)
+                var_mean[b] = m_w
+            else:
+                var_mean[b], S_b = m_u, S_u
+            S_chols[b] = chol_ladder(S_b)[0]
+        dtype = self.inducing_points.dtype
+        out = self.replace(var_mean=jnp.asarray(var_mean, dtype))
+        if self.distrib == "cholesky":
+            out = out.replace(var_chol=jnp.asarray(S_chols, dtype))
+        elif self.distrib == "mean_field":
+            diag = np.sqrt(np.clip(np.einsum("qij,qij->qi", S_chols, S_chols),
+                                   1e-12, None))
+            out = out.replace(var_chol_diag=jnp.asarray(diag, dtype))
+        return out
 
     # -- variational machinery ---------------------------------------------------
     def _S_chol(self):

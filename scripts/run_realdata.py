@@ -32,6 +32,12 @@ def main(argv=None):
                         "TPU, 1 on CPU — see training.default_scan_steps)")
     p.add_argument("--out", default=None)
     p.add_argument("--print-metrics", action="store_true")
+    p.add_argument("--var-fit", default="warm_start",
+                   choices=["warm_start", "adam"],
+                   help="how to fit the variational model: closed-form "
+                        "SGPR-optimal E-step (default — ELBO Adam training "
+                        "collapses on real data, see "
+                        "results/var_tidal_collapse.md) or plain Adam")
     args = p.parse_args(argv)
 
     import pandas as pd
@@ -47,13 +53,16 @@ def main(argv=None):
         models_to_run=args.models, kernel_type=data["kernel_type"],
         mean_type="zero", n_ind_points=data["n_ind_points"],
         ker_kwargs=data.get("ker_kwargs"),
+        # real inputs are not in the reference's hard-coded [-1,1] QMC box —
+        # scale the variational inducing-point box to the data range
+        var_ind_range="data",
         oilmm_bulk=False)  # realdata_experiments.py:107 uses bulk=False for oilmm
     results, _ = train_and_eval(
         models, data["X_test"], data["Y_test"],
         n_iter=args.n_iter or data["n_iter"], lr=args.lr,
         loss_thresh=data["loss_thresh"], patience=args.patience,
         print_metrics=args.print_metrics, block_every=args.block_every,
-        scan_steps=args.scan_steps)
+        scan_steps=args.scan_steps, var_fit=args.var_fit)
 
     out = args.out or f"results/realdata_study_{args.experiment}.csv"
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
