@@ -209,11 +209,21 @@ class VariationalMultitaskGPModel(Module):
         # latent targets: minimum-norm solve of H^T L = Y^T  -> (q, n)
         L_t, *_ = np.linalg.lstsq(H.T, Y.T, rcond=None)
         if noise is None:
-            noise = float(np.mean(np.asarray(self.likelihood.task_noises)))
+            # mean diagonal of the FULL task covariance (works for every
+            # likelihood rank, and includes the global noise term the ELBO
+            # actually uses — ``task_noises`` exists only for rank=0)
+            noise = float(np.mean(np.diag(
+                np.asarray(self.likelihood.task_covariance(), np.float64))))
         z = self.inducing_points
         Kzz = np.asarray(self.covar_module(z), np.float64)      # (q, m, m)
         Kzx = np.asarray(self.covar_module(z, self.train_x), np.float64)
         eye = np.eye(m)
+        # whitening factor: the SAME one prediction/ELBO use at runtime
+        # (_kernel_factors' safe_cholesky of Kzz + 1e-6 I) — a private ladder
+        # here could settle on a different jitter on near-singular
+        # spectral-mixture K_zz, leaving m/S whitened against a different
+        # factor than the one applied at runtime
+        Lzz_rt = np.asarray(self._kernel_factors(), np.float64)  # (q, m, m)
 
         def chol_ladder(A, j0=jitter):
             # oscillatory kernels (spectral mixture) give near-singular K_zz
@@ -230,8 +240,9 @@ class VariationalMultitaskGPModel(Module):
         var_mean = np.zeros((self.n_latents, m))
         S_chols = np.zeros((self.n_latents, m, m))
         for b in range(self.n_latents):
-            Lzz, jb = chol_ladder(Kzz[b])
+            _, jb = chol_ladder(Kzz[b])
             Kb = Kzz[b] + jb * eye
+            Lzz = Lzz_rt[b]
             Sig = Kb + (Kzx[b] @ Kzx[b].T) / noise
             m_u = Kb @ np.linalg.solve(Sig, Kzx[b] @ L_t[b]) / noise  # (m,)
             S_u = Kb @ np.linalg.solve(Sig, Kb)
@@ -278,8 +289,13 @@ class VariationalMultitaskGPModel(Module):
         or (mean, cov (q,n,n)) (projected_lmc.py:812-813). ``prior=True``
         returns the latent prior at x instead (the reference forwards the flag
         to the variational strategy, which short-circuits to model.forward)."""
+        # normalize 1-D inputs the way the kernel does (x[:, None]):
+        # atleast_2d would read a length-n series as ONE n-dimensional point
+        x = jnp.asarray(x)
+        if x.ndim == 1:
+            x = x[:, None]
         if prior:
-            n = jnp.shape(jnp.atleast_2d(x))[0]
+            n = x.shape[0]
             mean = jnp.zeros((self.n_latents, n), self.inducing_points.dtype)
             if full_cov:
                 return mean, self.covar_module(x)

@@ -25,7 +25,10 @@ import numpy as np
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--n-iter", type=int, default=50000)
-    ap.add_argument("--model", default="PLMC")
+    # only the projected models expose .predict (mean + 2σ band); var/ICM
+    # would crash here AFTER a full training run
+    ap.add_argument("--model", default="PLMC",
+                    choices=["PLMC", "oilmm", "PLMC_fast"])
     ap.add_argument("--out-dir", default="results")
     args = ap.parse_args(argv)
 
@@ -47,8 +50,10 @@ def main(argv=None):
     mean, var = model.predict(np.asarray(data["X_test"]))
     mean, sd = np.asarray(mean), np.sqrt(np.asarray(var))
 
-    # full series re-assembled in frame order (train rows + test window)
+    # full series re-assembled in frame order (train rows + test window);
+    # the sub/sup slicing below assumes one contiguous held-out window
     test_idx = np.asarray(data["test_indices"])
+    assert np.all(np.diff(test_idx) == 1), "test window must be contiguous"
     n_total = data["X"].shape[0] + test_idx.size
     p = data["Y"].shape[1]
     Y_full = np.zeros((n_total, p), np.float64)
