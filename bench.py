@@ -55,27 +55,57 @@ T_START = time.time()
 
 
 def _load_baseline():
-    """Measured A100-extrapolated gpytorch baseline (see docstring)."""
+    """Measured A100-extrapolated gpytorch baseline (see docstring).
+
+    Returns (est_its, sol_its, pessimistic_its, meta):
+    * ``est``  — the headline estimator: measured host time ÷ the ledger's
+      predicted host→A100 speedup (assumes the per-phase miscalibration
+      factors cancel in the ratio);
+    * ``sol``  — the pure A100 roofline of the same algorithm (the
+      unreachable ceiling for any eager framework): the FASTEST the
+      baseline could possibly be, so value/sol is the HONEST LOWER BOUND
+      of the speedup;
+    * ``pessimistic`` — A100 per-phase times inflated by the MEASURED
+      per-phase host miscalibration (host_model_ratio, 3.3×–53.8×): the
+      slowest defensible baseline, so value/pessimistic is the upper
+      bound. The [value/sol, value/pessimistic] interval is the
+      ledger-sensitivity band VERDICT r2 asked for.
+    """
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "results", "baseline_torch.json")
     try:
         with open(path) as f:
             d = json.load(f)
-        return float(d["a100_gpytorch_iters_per_sec_est"]), {
+        est = float(d["a100_gpytorch_iters_per_sec_est"])
+        sol = float(d["a100_algorithm_sol_iters_per_sec"])
+        phases = {k: v for k, v in d["a100_phase_seconds"].items()
+                  if k != "total"}
+        ratios = d["host_model_ratio"]
+        pess = 1.0 / sum(t * float(ratios[ph]) for ph, t in phases.items())
+        meta = {
             "baseline_source": "results/baseline_torch.json (measured)",
             "baseline_host_cpu_iters_per_sec": d.get("host_cpu_iters_per_sec"),
-            "baseline_a100_est_iters_per_sec":
-                d.get("a100_gpytorch_iters_per_sec_est"),
-            "baseline_a100_sol_iters_per_sec":
-                d.get("a100_algorithm_sol_iters_per_sec"),
+            "baseline_a100_est_iters_per_sec": est,
+            "baseline_a100_sol_iters_per_sec": sol,
+            "baseline_a100_pessimistic_iters_per_sec": round(pess, 4),
+            "baseline_interval_note": (
+                "a100 baseline plausibly in [pessimistic, sol] it/s: sol = "
+                "pure roofline (no eager overhead at all); pessimistic = "
+                "roofline x measured per-phase host ledger miscalibration"),
             "baseline_methodology": d.get("methodology"),
         }
+        if "backward_profiler_seconds" in d:
+            meta["baseline_backward_profiler_seconds"] = \
+                d["backward_profiler_seconds"]
+        return est, sol, pess, meta
     except (OSError, KeyError, ValueError):
-        return 0.5, {"baseline_source":
-                     "fallback documented estimate 0.5 it/s (no measurement)"}
+        return 0.5, None, None, {
+            "baseline_source":
+            "fallback documented estimate 0.5 it/s (no measurement)"}
 
 
-A100_GPYTORCH_ITERS_PER_SEC_EST, _BASELINE_META = _load_baseline()
+(A100_GPYTORCH_ITERS_PER_SEC_EST, A100_SOL_ITERS_PER_SEC,
+ A100_PESSIMISTIC_ITERS_PER_SEC, _BASELINE_META) = _load_baseline()
 
 STATE = {
     "metric": "exact-LMC train iters/sec (n=10k, T=7, q=4, Matern, full jit step)",
@@ -151,9 +181,14 @@ def _sync(tree):
     float(jnp.sum(leaves[0].ravel()[0]))
 
 
-def bench_exact_lmc(n=10000, T=7, q=4, seed=0, steps=8, reps=2):
+def bench_exact_lmc(n=10000, T=7, q=4, seed=0, steps=8, reps=2,
+                    measurements=1):
     """Full training-step throughput: value_and_grad(MLL) + AdamW, ``steps``
-    fused per dispatch via lax.scan with per-step probe redraw."""
+    fused per dispatch via lax.scan with per-step probe redraw.
+
+    ``measurements`` > 1 repeats the timed section that many times on the
+    same compiled program and returns the list (run-to-run spread of the
+    tunneled chip; VERDICT r2 item 8)."""
     import jax
     import jax.numpy as jnp
     from projected_lmc_tpu.models.multitask import MultitaskGPModel
@@ -212,11 +247,14 @@ def bench_exact_lmc(n=10000, T=7, q=4, seed=0, steps=8, reps=2):
     state = (params, opt_state, jax.random.PRNGKey(0))
     state = multi_step(state)           # warmup/compile
     _sync(state)
-    t0 = time.time()
-    for _ in range(reps):
-        state = multi_step(state)
-    _sync(state)
-    return steps * reps / (time.time() - t0)
+    vals = []
+    for _ in range(max(int(measurements), 1)):
+        t0 = time.time()
+        for _ in range(reps):
+            state = multi_step(state)
+        _sync(state)
+        vals.append(steps * reps / (time.time() - t0))
+    return vals if measurements > 1 else vals[0]
 
 
 def bench_cholesky(n=8192, reps=8):
@@ -439,6 +477,61 @@ def bench_pallas_delta(n=8192, m=8192, d=4, q=4, reps=12):
                 max_abs_err=err)
 
 
+def bench_sym_stability(n=10240, d=4, q=4, r=17, reps=3):
+    """On-chip stability of the symmetric triangular-grid Pallas kernels
+    (VERDICT r2 item 7): the Mosaic revisit race this guards against is
+    NONDETERMINISTIC and invisible to interpret-mode CI, so the bench
+    re-verifies every round. ``reps`` independent evaluations of the sym
+    builder and the sym backward reduce, each compared against the full-grid
+    reference; reports the max error across reps AND the max rep-to-rep
+    deviation (a race shows up as either)."""
+    import jax
+    import jax.numpy as jnp
+    from projected_lmc_tpu.ops import pallas_kernels as pk
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    ls = jnp.asarray(rng.uniform(0.5, 2.0, (q, 1, d)).astype(np.float32))
+    os_ = jnp.asarray(rng.uniform(0.5, 2.0, q).astype(np.float32))
+    U = rng.standard_normal((q, n, (r + 1) // 2)).astype(np.float32) / n
+    V = rng.standard_normal((q, n, (r + 1) // 2)).astype(np.float32) / n
+    A = jnp.asarray(np.concatenate([U, V], -1))
+    Bf = jnp.asarray(np.concatenate([V, U], -1))    # A Bf^T symmetric
+
+    ref_build = np.asarray(pk.scaled_kernel_stack(
+        x, x, ls, os_, "matern25", False, jnp.bfloat16), np.float32)
+    rows_f, wx_f = pk.lowrank_stationary_reduce(x, ls, A, Bf, "matern25")
+    rows_f, wx_f = np.asarray(rows_f), np.asarray(wx_f)
+    rows_scale = float(np.abs(rows_f).max()) + 1e-30
+    wx_scale = float(np.abs(wx_f).max()) + 1e-30
+
+    build_errs, reduce_errs = [], []
+    builds, reduces = [], []
+    for _ in range(reps):
+        got = np.asarray(pk.scaled_kernel_stack_sym(
+            x, ls, os_, "matern25", out_dtype=jnp.bfloat16), np.float32)
+        build_errs.append(float(np.abs(got - ref_build).max()))
+        builds.append(got)
+        rows_s, wx_s = pk.lowrank_stationary_reduce_sym(x, ls, A, Bf,
+                                                        "matern25")
+        e = max(float(np.abs(np.asarray(rows_s) - rows_f).max()) / rows_scale,
+                float(np.abs(np.asarray(wx_s) - wx_f).max()) / wx_scale)
+        reduce_errs.append(e)
+        reduces.append((np.asarray(rows_s), np.asarray(wx_s)))
+    build_rep_dev = max(float(np.abs(b - builds[0]).max()) for b in builds)
+    reduce_rep_dev = max(
+        max(float(np.abs(rr[0] - reduces[0][0]).max()) / rows_scale,
+            float(np.abs(rr[1] - reduces[0][1]).max()) / wx_scale)
+        for rr in reduces)
+    ok = (max(build_errs) <= 1e-2 and max(reduce_errs) <= 1e-4
+          and build_rep_dev == 0.0 and reduce_rep_dev <= 1e-6)
+    return dict(n=n, reps=reps,
+                build_vs_full_max_abs_err=round(max(build_errs), 6),
+                reduce_vs_full_max_rel_err=float(f"{max(reduce_errs):.3g}"),
+                build_rep_to_rep_max_dev=round(build_rep_dev, 6),
+                reduce_rep_to_rep_max_dev=float(f"{reduce_rep_dev:.3g}"),
+                stable_ok=bool(ok))
+
+
 def _reexec_without_claim():
     """The container's sitecustomize claims the (single) tunneled TPU in EVERY
     python process at startup. If the orchestrator kept its claim, its own
@@ -517,11 +610,26 @@ def main():
             n_cfg = int(r["n"])
             v = float(r["iters_per_sec"])
             STATE["value"] = round(v, 3)
+            # DUAL-DENOMINATOR reporting (VERDICT r2 item 3): vs_baseline
+            # keeps the round-1/2 meaning (vs the A100 eager-gpytorch
+            # ESTIMATE — the >10x target's denominator, see BASELINE.md);
+            # vs_baseline_sol divides by the pure algorithm roofline (the
+            # honest lower bound), and the interval spans the ledger's
+            # measured per-phase miscalibration.
             STATE["vs_baseline"] = round(v / A100_GPYTORCH_ITERS_PER_SEC_EST, 2)
+            details["vs_baseline_est"] = STATE["vs_baseline"]
+            if A100_SOL_ITERS_PER_SEC:
+                details["vs_baseline_sol"] = round(
+                    v / A100_SOL_ITERS_PER_SEC, 2)
+                details["vs_baseline_interval"] = [
+                    round(v / A100_SOL_ITERS_PER_SEC, 2),
+                    round(v / A100_PESSIMISTIC_ITERS_PER_SEC, 2)]
             STATE["metric"] = (f"exact-LMC train iters/sec (n={n_cfg}, "
                                f"T=7, q=4, Matern, full jit step)")
             details["lmc_config"] = dict(n=n_cfg, T=7, q=4)
             details[f"lmc_iters_per_sec_n{n_cfg}"] = round(v, 3)
+            if "spread" in r:
+                details[f"lmc_n{n_cfg}_spread"] = r["spread"]
         else:
             details.update(r)
             ran_extras = True
@@ -584,10 +692,20 @@ def _stage_main(argv):
     kind = argv[0]
     if kind == "ladder":
         deadline = time.time() + (float(argv[1]) if len(argv) > 1 else 340)
-        for n in (2000, 5000, 10000):
+        for n in (2000, 5000):
             v = bench_exact_lmc(n=n, T=7, q=4)
             print("RESULT", json.dumps({"n": n, "iters_per_sec": v}),
                   flush=True)
+        # headline config: >=4 timed repeats of the compiled program; the
+        # headline value is the MEDIAN, spread carried alongside (the
+        # tunneled chip shows ~4% run-to-run variance — PERF_NOTES)
+        vals = bench_exact_lmc(n=10000, T=7, q=4, measurements=4)
+        print("RESULT", json.dumps(
+            {"n": 10000, "iters_per_sec": float(np.median(vals)),
+             "spread": {"n_measurements": len(vals),
+                        "min": round(min(vals), 2),
+                        "median": round(float(np.median(vals)), 2),
+                        "max": round(max(vals), 2)}}), flush=True)
         # extras in the SAME process while budget remains (no second claim)
         def left():
             return deadline - time.time()
@@ -623,6 +741,14 @@ def _stage_main(argv):
             except Exception as e:
                 print("RESULT", json.dumps(
                     {"pallas_error": repr(e)[:160]}), flush=True)
+        if left() > 30:
+            try:
+                print("RESULT", json.dumps(
+                    {"sym_kernel_stability": bench_sym_stability()}),
+                    flush=True)
+            except Exception as e:
+                print("RESULT", json.dumps(
+                    {"sym_stability_error": repr(e)[:160]}), flush=True)
         if left() > 60:
             try:
                 print("RESULT", json.dumps(
@@ -657,6 +783,10 @@ def _stage_main(argv):
             out["pallas_vs_xla_kernel_build"] = bench_pallas_delta()
         except Exception as e:
             out["pallas_error"] = repr(e)[:160]
+        try:
+            out["sym_kernel_stability"] = bench_sym_stability()
+        except Exception as e:
+            out["sym_stability_error"] = repr(e)[:160]
         try:
             out["plmc_sgpr_predict"] = bench_predict_p50()
         except Exception as e:

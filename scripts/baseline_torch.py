@@ -144,11 +144,16 @@ def logdet_from_cg(alphas, betas, bnorm2, nT):
     return (bnorm2 * quad).mean()
 
 
-def lmc_step(params, X, Y, opt, num_probes=10, max_cg=1000, cg_tol=1.0):
+def lmc_step(params, X, Y, opt, num_probes=10, max_cg=1000, cg_tol=1.0,
+             backward_ctx=None):
     """One full training iteration: MLL forward + backward + AdamW update.
     Gradients through the solve use the implicit identities on the saved
     solves (linear_operator InvQuadLogdet.backward), chained through the
-    eager autograd of the kernel build — the same split gpytorch has."""
+    eager autograd of the kernel build — the same split gpytorch has.
+
+    ``backward_ctx``: optional context manager (e.g. a torch.profiler
+    profile) wrapped around the backward phase only."""
+    import contextlib
     log_ls, H, raw_st = params
     n, T = Y.shape
     opt.zero_grad()
@@ -174,16 +179,18 @@ def lmc_step(params, X, Y, opt, num_probes=10, max_cg=1000, cg_tol=1.0):
     # surrogate whose autograd gradients equal the implicit-function gradients:
     # quad:  d(y' S^-1 y)/dtheta = -alpha' (dS/dtheta) alpha
     # logdet: d(logdet S)/dtheta ~ (1/2s) sum_i (w_i'(dS)z_i + z_i'(dS)w_i)
-    s = W.shape[0]
-    Sa = lmc_matvec(Ks, H, st_diag, alpha_y[None])[0]
-    quad_sur = -(alpha_y * Sa).sum()                         # grad: -a (dS) a
-    SW = lmc_matvec(Ks, H, st_diag, probes)
-    logdet_sur = (W * SW).sum() / s                          # grad: (1/s) w(dS)z
-    with torch.no_grad():
-        quad_val = (Y * alpha_y).sum()
-    loss = 0.5 * (quad_sur + logdet_sur)                     # d/dtheta of -ll
-    loss.backward()
-    opt.step()
+    with (backward_ctx if backward_ctx is not None
+          else contextlib.nullcontext()):
+        s = W.shape[0]
+        Sa = lmc_matvec(Ks, H, st_diag, alpha_y[None])[0]
+        quad_sur = -(alpha_y * Sa).sum()                     # grad: -a (dS) a
+        SW = lmc_matvec(Ks, H, st_diag, probes)
+        logdet_sur = (W * SW).sum() / s                      # grad: (1/s) w(dS)z
+        with torch.no_grad():
+            quad_val = (Y * alpha_y).sum()
+        loss = 0.5 * (quad_sur + logdet_sur)                 # d/dtheta of -ll
+        loss.backward()
+        opt.step()
     phase_t["backward"] = time.time() - t0
     with torch.no_grad():
         nll = 0.5 * (quad_val + logdet + n * T * math.log(2 * math.pi))
@@ -285,6 +292,138 @@ def run(n=10000, T=7, q=4, d=4, steps=3, warmup=1, seed=0):
     return 1.0 / dt, cg_counts, phase_med
 
 
+def profile_backward(n=4000, T=7, q=4, d=4, seed=0, num_probes=10,
+                     top_k=12):
+    """torch.profiler per-op measurement of the backward phase (VERDICT r2
+    item 3: 'tighten the backward ledger with torch.profiler op times').
+
+    The round-2 ledger modeled the backward as 3 matvec-equivalents + one
+    dK outer + ~8 elementwise stack passes and mispredicted the measured
+    host backward by 53.8×. This measures what eager autograd ACTUALLY
+    runs: per-op self times and an input-shape-derived bytes-touched
+    estimate. Returns (per_op_table, est_bytes, est_ops, measured_seconds).
+
+    Bytes estimate per op: 4 B × (Σ input elements + largest input's
+    element count as an output proxy — torch.profiler records input shapes
+    only). Crude per-op, but summed over hundreds of stack-sized ops it
+    pins the pass COUNT the analytic guess got wrong.
+    """
+    from torch.profiler import profile, ProfilerActivity
+    torch.manual_seed(seed)
+    X = torch.randn(n, d)
+    Y = torch.randn(n, T)
+    log_ls = torch.zeros(q, d, requires_grad=True)
+    H = torch.randn(T, q, requires_grad=True)
+    raw_st = torch.zeros(T, requires_grad=True)
+    params = (log_ls, H, raw_st)
+    opt = torch.optim.AdamW(params, lr=1e-2)
+    lmc_step(params, X, Y, opt, num_probes=num_probes)       # warmup
+    prof = profile(activities=[ProfilerActivity.CPU], record_shapes=True)
+    t0 = time.time()
+    _, _, ph = lmc_step(params, X, Y, opt, num_probes=num_probes,
+                        backward_ctx=prof)
+    measured_s = ph["backward"]
+    est_bytes = 0.0
+    est_ops = 0
+    rows = []
+    for evt in prof.key_averages(group_by_input_shape=False):
+        self_s = evt.self_cpu_time_total / 1e6
+        if self_s <= 0:
+            continue
+        est_ops += evt.count
+        rows.append((evt.key, round(self_s, 3), evt.count))
+    # bytes from the raw event stream (shapes live there)
+    for evt in prof.events():
+        shapes = getattr(evt, "input_shapes", None) or []
+        elems = [int(np.prod(s)) for s in shapes if s]
+        if elems:
+            est_bytes += 4.0 * (sum(elems) + max(elems))
+    rows.sort(key=lambda r: -r[1])
+    table = [{"op": k, "self_s": v, "count": c} for k, v, c in rows[:top_k]]
+    return table, est_bytes, est_ops, measured_s
+
+
+def tighten_backward(path="results/baseline_torch.json", n_profile=4000):
+    """Recalibrate the stored baseline's backward ledger from a profiled
+    backward at n=n_profile, rescaled to the headline n (stack-sized traffic
+    scales as n²; the profile's measured wall time validates the estimate at
+    n_profile before scaling). Rewrites the derived A100 quantities:
+
+    * ``a100_gpytorch_iters_per_sec_est`` now prices the MEASURED eager op
+      stream (what gpytorch-on-A100 actually launches);
+    * ``a100_algorithm_sol_iters_per_sec`` keeps the ANALYTIC minimal
+      ledger — the algorithm's roofline is not a property of eager
+      autograd's materialization strategy.
+    """
+    with open(path) as f:
+        base = json.load(f)
+    cfg = base["config"]
+    n, T, q, d, s = cfg["n"], cfg["T"], cfg["q"], cfg["d"], cfg["num_probes"]
+    table, bytes_p, ops_p, meas_s = profile_backward(n=n_profile, T=T, q=q,
+                                                     d=d, num_probes=s)
+    # validate the bytes estimate against the profiled run itself
+    host_bw = float(base["host_stream_gbs"])
+    host_gemm = float(base["host_gemm_tflops"])
+    pred_profile_s = bytes_p / (host_bw * 1e9)
+    # scale stack-sized traffic n_profile -> n (dominant terms are (q,n,n))
+    scale = (n / float(n_profile)) ** 2
+    bytes_bwd = bytes_p * scale
+    n_cg = int(np.median(base["cg_iters_per_step"]))
+    ledger = cost_ledger(n, T, q, d, n_cg, s)
+    fl_bwd = ledger["backward"][0]          # flops stay analytic (bw-bound)
+    ledger_meas = dict(ledger)
+    ledger_meas["backward"] = (fl_bwd, bytes_bwd, int(ops_p))
+
+    host_pred = price_ledger(ledger_meas, host_gemm, host_bw)
+    phase_med = base["host_phase_seconds"]
+    base["host_model_ratio"] = {
+        k: round(phase_med[k] / max(host_pred[k], 1e-9), 2)
+        for k in phase_med}
+    base["host_measured_vs_predicted_total"] = round(
+        sum(phase_med.values()) / max(host_pred["total"], 1e-9), 2)
+    a100_eager = price_ledger(ledger_meas, A100_FP32_TFLOPS * A100_DERATE,
+                              A100_HBM_GBS * A100_DERATE, A100_LAUNCH_S)
+    a100_sol = price_ledger(ledger, A100_FP32_TFLOPS * A100_DERATE,
+                            A100_HBM_GBS * A100_DERATE)
+    speedup_pred = host_pred["total"] / a100_eager["total"]
+    its = float(base["host_cpu_iters_per_sec"])
+    base["ledger_flops_bytes_ops"]["backward"] = [fl_bwd, bytes_bwd,
+                                                  int(ops_p)]
+    base["a100_phase_seconds"] = {k: round(v, 5)
+                                  for k, v in a100_eager.items()}
+    base["a100_sol_phase_seconds"] = {k: round(v, 5)
+                                      for k, v in a100_sol.items()}
+    base["host_to_a100_speedup_pred"] = round(speedup_pred, 1)
+    base["a100_gpytorch_iters_per_sec_est"] = round(its * speedup_pred, 3)
+    base["a100_algorithm_sol_iters_per_sec"] = round(
+        1.0 / a100_sol["total"], 3)
+    base["backward_profiler_seconds"] = {
+        "profiled_at_n": n_profile,
+        "measured_backward_s": round(meas_s, 2),
+        "bytes_estimate_at_profile_n": bytes_p,
+        "bytes_predicted_backward_s_at_profile_n": round(pred_profile_s, 2),
+        "scaled_bytes_at_headline_n": bytes_bwd,
+        "op_count": int(ops_p),
+        "top_ops_self_s": table,
+        "note": ("backward ledger bytes/ops replaced by torch.profiler "
+                 "measurement of the actual eager autograd op stream "
+                 "(input-shape bytes estimate), scaled n_profile->n by n^2; "
+                 "flops kept analytic (phase is bandwidth-bound). "
+                 "a100_gpytorch_est prices THIS stream; a100_algorithm_sol "
+                 "keeps the minimal analytic ledger."),
+    }
+    base["methodology"] += (
+        " [round 3] backward ledger tightened from torch.profiler per-op "
+        "times; see backward_profiler_seconds.")
+    with open(path, "w") as f:
+        json.dump(base, f, indent=2)
+    print(json.dumps({k: base[k] for k in (
+        "host_model_ratio", "host_to_a100_speedup_pred",
+        "a100_gpytorch_iters_per_sec_est",
+        "a100_algorithm_sol_iters_per_sec")}, indent=2))
+    print(json.dumps(base["backward_profiler_seconds"], indent=2))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=10000)
@@ -292,7 +431,14 @@ def main():
     ap.add_argument("--out", default="results/baseline_torch.json")
     ap.add_argument("--quick", action="store_true",
                     help="n=2000 smoke run, no file write")
+    ap.add_argument("--tighten-backward", action="store_true",
+                    help="recalibrate the stored backward ledger from a "
+                         "torch.profiler run (no full remeasurement)")
+    ap.add_argument("--n-profile", type=int, default=4000)
     args = ap.parse_args()
+    if args.tighten_backward:
+        tighten_backward(args.out, n_profile=args.n_profile)
+        return
     if args.quick:
         args.n = 2000
 

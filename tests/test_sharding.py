@@ -182,6 +182,132 @@ class TestSharding:
         np.testing.assert_allclose(sharded, unsharded, rtol=1e-9)
 
 
+class TestShardedPrediction:
+    """Shard-vs-unsharded equality for the PREDICTION paths (VERDICT r2
+    item 6): training coverage alone does not establish that the posterior
+    math (cross-covariances, cached factorizations, Kronecker variance)
+    survives pjit propagation over the mesh."""
+
+    def test_projected_predict_matches_unsharded(self, mesh):
+        X, Y = make_data(n=64)
+        Xt = np.linspace(-0.9, 0.9, 24)[:, None]
+        m = pl.ProjectedGPModel(X, Y, Y.shape[1], 2, init_lmc_coeffs=True,
+                                kernel_type="matern")
+        mean_ref, var_ref = m.predict(Xt, observed=True)
+        ms = shard_model(m, mesh)
+        mean_sh, var_sh = jax.jit(
+            lambda mm, xs: mm.predict(xs, observed=True))(ms, jnp.asarray(Xt))
+        np.testing.assert_allclose(np.asarray(mean_sh), np.asarray(mean_ref),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(var_sh), np.asarray(var_ref),
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_projected_prediction_cache_matches_unsharded(self, mesh):
+        """The serving path: cache built under the mesh, then repeated
+        cached predicts — the cache pytree itself crosses the jit boundary."""
+        X, Y = make_data(n=64)
+        Xt = np.linspace(-0.9, 0.9, 16)[:, None]
+        m = pl.ProjectedGPModel(X, Y, Y.shape[1], 2, init_lmc_coeffs=True,
+                                kernel_type="matern")
+        cache_ref = m.prediction_cache()
+        mean_ref, var_ref = m.predict(Xt, observed=True, cache=cache_ref)
+        ms = shard_model(m, mesh)
+        cache_sh = jax.jit(lambda mm: mm.prediction_cache())(ms)
+        mean_sh, var_sh = jax.jit(
+            lambda mm, c, xs: mm.predict(xs, observed=True, cache=c))(
+            ms, cache_sh, jnp.asarray(Xt))
+        np.testing.assert_allclose(np.asarray(mean_sh), np.asarray(mean_ref),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(var_sh), np.asarray(var_ref),
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_icm_compute_var_matches_unsharded(self, mesh):
+        """ICM Kronecker-eig posterior variance (compute_var,
+        projected_lmc.py:591-640) under the mesh."""
+        rng = np.random.default_rng(13)
+        n, T, q = 96, 5, 2
+        X = rng.uniform(-1, 1, (n, 2))
+        Y = rng.standard_normal((n, T))
+        Xt = rng.uniform(-1, 1, (20, 2))
+        m = pl.MultitaskGPModel(X, Y, n_tasks=T, n_latents=q,
+                                model_type="ICM", kernel_type="matern")
+        var_ref = np.asarray(m.compute_var(Xt))
+        ms = shard_model(m, mesh)
+        var_sh = jax.jit(lambda mm, xs: mm.compute_var(xs))(
+            ms, jnp.asarray(Xt))
+        np.testing.assert_allclose(np.asarray(var_sh), var_ref,
+                                   rtol=1e-7, atol=1e-9)
+
+    def test_icm_posterior_cache_matches_unsharded(self, mesh):
+        """ICM posterior through the explicit precompute_posterior cache."""
+        rng = np.random.default_rng(17)
+        n, T, q = 96, 4, 2
+        X = rng.uniform(-1, 1, (n, 2))
+        Y = rng.standard_normal((n, T))
+        Xt = rng.uniform(-1, 1, (12, 2))
+        m = pl.MultitaskGPModel(X, Y, n_tasks=T, n_latents=q,
+                                model_type="ICM", kernel_type="matern")
+        cache = m.precompute_posterior()
+        pred_ref = m.posterior(Xt, cache=cache, observed=True)
+        ms = shard_model(m, mesh)
+        cache_sh = jax.jit(lambda mm: mm.precompute_posterior())(ms)
+        pred_sh = jax.jit(
+            lambda mm, c, xs: mm.posterior(xs, cache=c, observed=True))(
+            ms, cache_sh, jnp.asarray(Xt))
+        np.testing.assert_allclose(np.asarray(pred_sh.mean),
+                                   np.asarray(pred_ref.mean),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(pred_sh.variance),
+                                   np.asarray(pred_ref.variance),
+                                   rtol=1e-7, atol=1e-9)
+
+    def test_lmc_iterative_posterior_matches_unsharded(self, mesh):
+        """The large-n serving path: matrix-free LMC posterior cache (PCG
+        mean + Nyström conservative variance) under the mesh."""
+        rng = np.random.default_rng(19)
+        n, T, q = 256, 4, 2
+        X = rng.uniform(-1, 1, (n, 2))
+        Y = rng.standard_normal((n, T))
+        Xt = rng.uniform(-1, 1, (16, 2))
+        m = pl.MultitaskGPModel(X, Y, n_tasks=T, n_latents=q,
+                                model_type="LMC", kernel_type="matern",
+                                mean_type="zero", fix_diagonal=True)
+        cache = m.precompute_posterior(iterative=True, precond_rank=32,
+                                       max_cg_iters=200, cg_tol=1e-10)
+        pred_ref = m.posterior(Xt, cache=cache, observed=True)
+        ms = shard_model(m, mesh)
+        cache_sh = jax.jit(lambda mm: mm.precompute_posterior(
+            iterative=True, precond_rank=32, max_cg_iters=200,
+            cg_tol=1e-10))(ms)
+        pred_sh = jax.jit(
+            lambda mm, c, xs: mm.posterior(xs, cache=c, observed=True))(
+            ms, cache_sh, jnp.asarray(Xt))
+        np.testing.assert_allclose(np.asarray(pred_sh.mean),
+                                   np.asarray(pred_ref.mean),
+                                   rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(pred_sh.variance),
+                                   np.asarray(pred_ref.variance),
+                                   rtol=1e-5, atol=1e-8)
+
+    def test_variational_prediction_matches_unsharded(self, mesh):
+        X, Y = make_data(n=48)
+        Xt = np.linspace(-0.9, 0.9, 16)[:, None]
+        m = pl.VariationalMultitaskGPModel(X, n_latents=2, n_tasks=Y.shape[1],
+                                           train_y=Y, init_lmc_coeffs=True,
+                                           kernel_type="matern",
+                                           mean_type="zero")
+        pred_ref = m(Xt, observed=True)
+        ms = shard_model(m, mesh)
+        pred_sh = jax.jit(lambda mm, xs: mm(xs, observed=True))(
+            ms, jnp.asarray(Xt))
+        np.testing.assert_allclose(np.asarray(pred_sh.mean),
+                                   np.asarray(pred_ref.mean),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(pred_sh.variance),
+                                   np.asarray(pred_ref.variance),
+                                   rtol=1e-8, atol=1e-10)
+
+
 class TestShardingReport:
     """Pins model_shardings' per-leaf decisions for every model family.
 
