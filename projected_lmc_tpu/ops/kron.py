@@ -66,6 +66,7 @@ def icm_log_prob(K, B, Sigma_t, Ydelta, jitter: float = 1e-8):
     return -0.5 * (quad + logdet + n * t * math.log(2 * math.pi))
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def icm_log_prob_chol(K, B, Sigma_t, Ydelta, jitter: float = 1e-8,
                       chol_bf16: bool = False, chol_block: int = 1024):
     """log N(vec(Y); 0, K⊗B + I⊗Σt) via BATCHED CHOLESKY — the training-path
@@ -111,6 +112,60 @@ def icm_log_prob_chol(K, B, Sigma_t, Ydelta, jitter: float = 1e-8,
     logdet = (n * logdet_from_chol(Rt)
               + 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1))))
     return -0.5 * (quad + logdet + n * t * math.log(2 * math.pi))
+
+
+def _icm_chol_fwd(K, B, Sigma_t, Ydelta, jitter, chol_bf16, chol_block):
+    ll = icm_log_prob_chol(K, B, Sigma_t, Ydelta, jitter, chol_bf16,
+                           chol_block)
+    return ll, (K, B, Sigma_t, Ydelta)
+
+
+def _icm_chol_bwd(jitter, chol_bf16, chol_block, res, g):
+    """ANALYTIC gradients of the exact ICM log-prob — no autodiff through
+    any eigendecomposition.
+
+    Motivation (round-3 cross-model-consistency diagnosis): the naive
+    autodiff backward of the whitening path runs through eigh(B̃), whose
+    pullback carries 1/(γ_i − γ_j) factors. With a rank-p noise factor
+    (the reference's default q_noise_guess = p, experiments.py:180) B̃'s
+    spectrum has a large cluster of near-equal eigenvalues, so those
+    factors amplify fp32 rounding into O(1) gradient noise — measured as a
+    loss oscillation that stalls ICM training far from the optimum (a
+    from-scratch torch oracle with autodiff-through-eigh NaN'd outright on
+    the same config; scripts/oracle_icm_synthetic.py). The analytic
+    backward uses the eigendecompositions only as FORWARD factorizations:
+
+      d ll/dK  = ½ (A B Aᵀ − U diag(Σ_j γ_j/S_·j) Uᵀ)
+      d ll/dB  = ½ (Aᵀ K_j A − P diag(Σ_i λ_i/S_i·) Pᵀ),  P = Rt⁻ᵀ V
+      d ll/dΣt = ½ (Aᵀ A − P diag(Σ_i 1/S_i·) Pᵀ)
+      d ll/dY  = −A,          A = mat(Σ⁻¹ vec Y),  S = λγᵀ + 1
+
+    — the ½(αᵀ dΣ α − tr(Σ⁻¹ dΣ)) split evaluated exactly in the joint
+    eigenbasis (degenerate eigenvalues are harmless: only eigen-PROJECTIONS
+    enter, never eigenvector derivatives)."""
+    K, B, Sigma_t, Ydelta = res
+    fac = icm_eig_factors(K, B, Sigma_t, jitter=jitter)
+    A = icm_solve(Ydelta, fac)                              # (n, t)
+    lam, gam, S = fac["lam"], fac["gam"], fac["S"]
+    U, V, Rt = fac["U"], fac["V"], fac["Rt"]
+    Sinv = 1.0 / S                                          # (n, t)
+    w = _mm(Sinv, gam[:, None])[:, 0]                       # (n,)
+    v = _mm(lam[None, :], Sinv)[0]                          # (t,)
+    u = jnp.sum(Sinv, axis=0)                               # (t,)
+    MK = _mm(U * w[None, :], U.T)
+    P = solve_triangular(Rt.T, V, lower=False)              # Rt^{-T} V
+    MB = _mm(P * v[None, :], P.T)
+    MS = _mm(P * u[None, :], P.T)
+    n = K.shape[-1]
+    Kj = K + jitter * jnp.eye(n, dtype=K.dtype)
+    dK = (0.5 * g) * (_mm(_mm(A, B), A.T) - MK)
+    dB = (0.5 * g) * (_mm(_mm(A.T, Kj), A) - MB)
+    dSt = (0.5 * g) * (_mm(A.T, A) - MS)
+    dY = -g * A
+    return dK, dB, dSt, dY
+
+
+icm_log_prob_chol.defvjp(_icm_chol_fwd, _icm_chol_bwd)
 
 
 def icm_solve(Ydelta, fac):

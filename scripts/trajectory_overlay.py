@@ -27,7 +27,7 @@ import numpy as np
 
 
 def main(n=10000, T=7, q=4, d=4, steps=50, chunk=10, seed=0,
-         out="results/trajectory_overlay.json"):
+         dataset="synthetic", out="results/trajectory_overlay.json"):
     from projected_lmc_tpu.utils.tpu import ensure_tpu
     ensure_tpu()
     import jax
@@ -38,13 +38,30 @@ def main(n=10000, T=7, q=4, d=4, steps=50, chunk=10, seed=0,
     from projected_lmc_tpu.module import trainable_mask, partition, combine
 
     rng = np.random.default_rng(seed)
-    X = rng.uniform(-1, 1, (n, d)).astype(np.float32)
-    # structured targets (latent smooth functions mixed by a random H) so the
-    # loss genuinely descends over the window
-    U = np.stack([np.sin(2.0 * X @ w) for w in
-                  rng.standard_normal((q, d))], axis=1)
-    H = rng.standard_normal((q, T))
-    Y = (U @ H + 0.1 * rng.standard_normal((n, T))).astype(np.float32)
+    if dataset == "synthetic":
+        X = rng.uniform(-1, 1, (n, d)).astype(np.float32)
+        # structured targets (latent smooth functions mixed by a random H) so
+        # the loss genuinely descends over the window
+        U = np.stack([np.sin(2.0 * X @ w) for w in
+                      rng.standard_normal((q, d))], axis=1)
+        H = rng.standard_normal((q, T))
+        Y = (U @ H + 0.1 * rng.standard_normal((n, T))).astype(np.float32)
+    else:
+        # REAL data (BASELINE.md "matched MLL trajectories" evidence on a
+        # real workload — VERDICT r2 item 9): the same exact-LMC bench
+        # estimator pair on the tidal (4-station) or ship (13-output)
+        # series. Matern kernel (the bench model family; the tidal study
+        # itself uses spectral-mixture, which the fused estimator does not
+        # cover — the overlay compares ESTIMATORS, not experiment configs).
+        from projected_lmc_tpu.experiments.realdata import LOADERS
+        data = LOADERS[dataset]()
+        X = np.asarray(data["X"], np.float32)
+        Y = np.asarray(data["Y"], np.float32)
+        # normalize inputs to zero-mean unit-ish range for lengthscale init
+        X = (X - X.mean(0)) / (X.std(0) + 1e-12)
+        n, d = X.shape
+        T = Y.shape[1]
+        q = min(q, T)
 
     def make_state():
         lik = MultitaskGaussianLikelihood(num_tasks=T, rank=0)
@@ -110,6 +127,7 @@ def main(n=10000, T=7, q=4, d=4, steps=50, chunk=10, seed=0,
     rel_gap = np.abs(tb - ts) / scale
     result = {
         "config": dict(n=n, T=T, q=q, d=d, steps=steps, seed=seed,
+                       dataset=dataset,
                        bench=bench_kwargs, slq_ref=slq_kwargs),
         "loss_bench": traj_b,
         "loss_slq_fp32": traj_s,
@@ -127,4 +145,14 @@ def main(n=10000, T=7, q=4, d=4, steps=50, chunk=10, seed=0,
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="synthetic",
+                    choices=["synthetic", "tidal", "ship"])
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--out", default=None)
+    a = ap.parse_args()
+    out = a.out or ("results/trajectory_overlay.json"
+                    if a.dataset == "synthetic"
+                    else f"results/trajectory_overlay_{a.dataset}.json")
+    main(dataset=a.dataset, steps=a.steps, out=out)

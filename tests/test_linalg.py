@@ -127,6 +127,45 @@ class TestKron:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-7, atol=1e-10, err_msg=name)
 
+    def test_icm_chol_grads_clustered_spectrum(self):
+        """Regression for the round-3 cross-model-consistency diagnosis:
+        with a rank-t noise factor Σt = GGᵀ + σI (the reference's
+        q_noise_guess = p default), the whitened B̃ has a CLUSTER of
+        near-equal eigenvalues; autodiff through eigh(B̃) then amplifies
+        rounding by 1/(γ_i − γ_j) into O(1) gradient noise. The analytic
+        custom VJP must match a dense fp64 Cholesky-autodiff oracle (which
+        never eigendecomposes anything) on exactly this spectrum."""
+        rng = np.random.default_rng(11)
+        n, t, q = 40, 24, 6
+        X = np.linspace(-1, 1, n)[:, None]
+        d2 = (X - X.T) ** 2 / 0.3 ** 2
+        K = jnp.asarray((1 + np.sqrt(5 * d2)
+                         + 5 * d2 / 3) * np.exp(-np.sqrt(5 * d2)))
+        F = rng.standard_normal((t, q))
+        B = jnp.asarray(F @ F.T + np.diag(np.log1p(np.exp(
+            rng.standard_normal(t)))))
+        G = rng.standard_normal((t, t))
+        St = jnp.asarray(G @ G.T + 0.7 * np.eye(t))
+        Y = jnp.asarray(rng.standard_normal((n, t)))
+
+        def dense_ll(K, B, St, Y):
+            dense = (jnp.kron(K, B)
+                     + jnp.kron(jnp.eye(n, dtype=K.dtype), St))
+            L = jnp.linalg.cholesky(dense)
+            z = jax.scipy.linalg.solve_triangular(L, Y.reshape(-1),
+                                                  lower=True)
+            return -0.5 * (z @ z
+                           + 2 * jnp.sum(jnp.log(jnp.diagonal(L)))
+                           + n * t * jnp.log(2 * jnp.pi))
+
+        g_ref = jax.grad(dense_ll, argnums=(0, 1, 2, 3))(K, B, St, Y)
+        g_new = jax.grad(lambda *a: kron_ops.icm_log_prob_chol(*a, jitter=0.0),
+                         argnums=(0, 1, 2, 3))(K, B, St, Y)
+        for a, b, name in zip(g_new, g_ref, ("dK", "dB", "dSt", "dY")):
+            scale = float(np.abs(np.asarray(b)).max()) + 1e-30
+            err = float(np.abs(np.asarray(a) - np.asarray(b)).max()) / scale
+            assert err < 1e-8, (name, err)
+
     def test_icm_log_prob_chol_low_rank_B(self):
         """B = ffᵀ + tiny diag (rank-1 ICM with fix_diagonal): γ_j ≈ 0
         eigenvalues must stay PSD-safe."""
