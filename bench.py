@@ -511,8 +511,9 @@ def bench_sym_stability(n=10240, d=4, q=4, r=17, reps=3):
             x, ls, os_, "matern25", out_dtype=jnp.bfloat16), np.float32)
         build_errs.append(float(np.abs(got - ref_build).max()))
         builds.append(got)
-        rows_s, wx_s = pk.lowrank_stationary_reduce_sym(x, ls, A, Bf,
-                                                        "matern25")
+        # the PRODUCTION backward kernel (fused rows+wx+KA, round 3)
+        rows_s, wx_s, _KA = pk.lowrank_stationary_reduce_sym_kr(
+            x, ls, os_, A, Bf, "matern25")
         e = max(float(np.abs(np.asarray(rows_s) - rows_f).max()) / rows_scale,
                 float(np.abs(np.asarray(wx_s) - wx_f).max()) / wx_scale)
         reduce_errs.append(e)

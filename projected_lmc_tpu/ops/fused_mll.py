@@ -59,6 +59,22 @@ def _use_pallas(x):
 # full-height accumulator blocks; see pallas_kernels._lowrank_vjp_tile_sym.
 SYM_BUILD = os.environ.get("PLMC_SYM_BUILD", "1") == "1"
 
+# Backward routing (measured on a v5e at n=10240, scripts/verify_sym_kernels
+# round 3): the fully-fused kr pass (rows+wx+KA in one triangular grid,
+# VMEM-flat at any n) is a wash vs {sym reduce + bf16 stack matmul} at
+# n=10k (12.4 vs ~11.4 ms — the stack re-read it saves ≈ its extra MXU/VPU
+# epilogue), but above the sym reduce's resident-accumulator VMEM ceiling
+# (~n=13k) the old path falls back to the FULL-grid reduce, where kr wins
+# big.  Routing: kr whenever the sym reduce would not fit VMEM; force with
+# PLMC_KR_FUSED=1/0.
+_KR_ENV = os.environ.get("PLMC_KR_FUSED")
+
+
+def _use_kr_fused(xc, A):
+    if _KR_ENV is not None:
+        return _KR_ENV == "1"
+    return not _sym_reduce_fits_vmem(xc, A)
+
 
 def _scaled_stack(xc, ls, os_, kind, out_dtype):
     """os_b · K_b(xc, xc), downcast at the producer. The training stack is
@@ -106,6 +122,27 @@ def _lowrank_reduce(xc, ls, A, Bf, kind):
     rows = jnp.sum(W, axis=-1)
     wx = jnp.einsum("bij,jd->bid", W, xc, precision=_HIGHEST)
     return rows, wx
+
+
+def _lowrank_reduce_kr(xc, ls, os_, A, Bf, kind):
+    """(rows, wx, KA) — the fully-fused backward pass (perf lever 2):
+    the kernel-cotangent reductions PLUS KA_b = (os_b·K_b) @ A_b from the
+    same per-tile recompute, so the backward never re-reads the bf16 kernel
+    stack from HBM. Pallas triangular grid on TPU (VMEM-flat at any n —
+    no resident full-height accumulators, no gate); dense XLA elsewhere."""
+    if _use_pallas(xc) and SYM_BUILD:
+        return pk.lowrank_stationary_reduce_sym_kr(xc, ls, os_, A, Bf, kind)
+    a = xc[None] / ls
+    n1 = jnp.sum(a * a, axis=-1)
+    cross = jnp.matmul(a, jnp.swapaxes(a, -1, -2), precision=_HIGHEST)
+    d2 = jnp.maximum(n1[..., :, None] + n1[..., None, :] - 2.0 * cross, 0.0)
+    W = jnp.einsum("bik,bjk->bij", A, Bf, precision=_HIGHEST) \
+        * pk._dprofile(kind, d2)
+    rows = jnp.sum(W, axis=-1)
+    wx = jnp.einsum("bij,jd->bid", W, xc, precision=_HIGHEST)
+    K = pk._profile(kind, d2) * os_[:, None, None]
+    ka = jnp.einsum("bij,bjr->bir", K, A, precision=_HIGHEST)
+    return rows, wx, ka
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
@@ -169,12 +206,37 @@ def _fused_bwd(kind, max_cg_iters, cg_tol, matvec_bf16, precond_rank,
     WH = jnp.einsum("snt,tb->snb", W, H, precision=_HIGHEST)      # (s, n, q)
     ZH = jnp.einsum("snt,tb->snb", Zt, H, precision=_HIGHEST)
 
-    # ONE batched stack stream serves dH, dΣt-free terms AND dos
-    R3 = jnp.concatenate([Ah[None], WH, ZH], axis=0)              # (1+2s,n,q)
-    if Ks.dtype == jnp.int8:
+    # low-rank cotangent factors: dK_base = (A Bfᵀ) with os and all scalar
+    # coefficients folded into Bf; dK_base is symmetric, so rows == cols and
+    # wx serves both cross-term reductions of kernels._skm_bwd. Note
+    # Afac[b, :, :] stacks exactly the columns of R3 = [Ah, WH, ZH] — the
+    # fused TPU path below reuses it as the stack-contraction right factor.
+    Afac = jnp.concatenate([Ah.T[:, :, None],
+                            jnp.transpose(WH, (2, 1, 0)),
+                            jnp.transpose(ZH, (2, 1, 0))], axis=-1)
+    Bfac = jnp.concatenate([(0.5 * g) * Ah.T[:, :, None],
+                            (-g / (4 * s)) * jnp.transpose(ZH, (2, 1, 0)),
+                            (-g / (4 * s)) * jnp.transpose(WH, (2, 1, 0))],
+                           axis=-1) * os_[:, None, None]
+    fdt = jnp.float64 if xc.dtype == jnp.float64 else jnp.float32
+
+    fused_tpu = (Ks.dtype != jnp.int8 and _use_pallas(xc) and SYM_BUILD
+                 and _use_kr_fused(xc, Afac))
+    if fused_tpu:
+        # perf lever 2 (PERF_NOTES): ONE Pallas pass yields the lengthscale
+        # reductions AND KA = (os·K) @ Afac — the backward's stack stream
+        # (formerly it._stack_matmul over the 0.8 GB bf16 stack at n=10⁴)
+        # is replaced by an in-tile recompute that shares the dprofile
+        # transcendental. KR's layout (r, n, q) is KA's (q, n, r) transposed.
+        rows, wx, KA = _lowrank_reduce_kr(
+            xc, ls, os_.astype(fdt), Afac.astype(fdt), Bfac.astype(fdt),
+            kind)
+        KR = jnp.transpose(KA, (2, 1, 0))
+    elif Ks.dtype == jnp.int8:
         # int8 stack without outputscale: quantize R3 per (probe, latent)
         # column, contract int8×int8→int32 in the native stack layout,
         # dequantize with os folded in
+        R3 = jnp.concatenate([Ah[None], WH, ZH], axis=0)          # (1+2s,n,q)
         rs = jnp.clip(jnp.max(jnp.abs(R3), axis=1, keepdims=True),
                       1e-30) / 127.0                              # (r, 1, q)
         Rq = jnp.clip(jnp.round(R3 / rs), -127, 127).astype(jnp.int8)
@@ -183,6 +245,8 @@ def _fused_bwd(kind, max_cg_iters, cg_tol, matvec_bf16, precond_rank,
         KR = jnp.transpose(KRi, (2, 1, 0)).astype(jnp.float32) * (
             rs * (os_.astype(jnp.float32) / 127.0)[None, None, :])
     else:
+        # ONE batched stack stream serves dH, dΣt-free terms AND dos
+        R3 = jnp.concatenate([Ah[None], WH, ZH], axis=0)
         KR = it._stack_matmul(Ks, R3)
     KAh, KWH, KZH = KR[0], KR[1:1 + s], KR[1 + s:]
 
@@ -205,20 +269,9 @@ def _fused_bwd(kind, max_cg_iters, cg_tol, matvec_bf16, precond_rank,
     dos = (g * (0.5 * dos_quad - dos_tr / (4 * s))
            / os_.astype(dos_quad.dtype)).astype(os_.dtype)
 
-    # lengthscale cotangent through the low-rank tile reduction. The factor
-    # pair (A, Bf) satisfies dK_base = (A Bfᵀ) with os and all scalar
-    # coefficients folded into Bf; dK_base is symmetric, so rows == cols and
-    # wx serves both cross-term reductions of kernels._skm_bwd.
-    Afac = jnp.concatenate([Ah.T[:, :, None],
-                            jnp.transpose(WH, (2, 1, 0)),
-                            jnp.transpose(ZH, (2, 1, 0))], axis=-1)
-    Bfac = jnp.concatenate([(0.5 * g) * Ah.T[:, :, None],
-                            (-g / (4 * s)) * jnp.transpose(ZH, (2, 1, 0)),
-                            (-g / (4 * s)) * jnp.transpose(WH, (2, 1, 0))],
-                           axis=-1) * os_[:, None, None]
-    fdt = jnp.float64 if xc.dtype == jnp.float64 else jnp.float32
-    rows, wx = _lowrank_reduce(xc, ls, Afac.astype(fdt), Bfac.astype(fdt),
-                               kind)
+    if not fused_tpu:
+        rows, wx = _lowrank_reduce(xc, ls, Afac.astype(fdt),
+                                   Bfac.astype(fdt), kind)
     lsq = ls[:, 0, :]                                             # (q, d)
     ls2 = lsq * lsq
     sq = jnp.einsum("bi,id->bd", rows, xc * xc, precision=_HIGHEST)

@@ -521,6 +521,185 @@ def lowrank_stationary_reduce_sym(x, lengthscale, A, Bf, kind: str,
     return rows[:, :n, 0], wx[:, :n]
 
 
+def _lowrank_vjp_tile_sym_kr(kind, tile, idx_ref, x_row_ref, x_col_ref,
+                             ls_ref, os_ref, a_ref, b_ref, a2_ref,
+                             out_i_ref, colred_ref):
+    """Fully-fused backward tile (perf lever 2, results/PERF_NOTES.md): one
+    triangular-grid pass computes BOTH the kernel-cotangent reductions
+    (rows, wx — as :func:`_lowrank_vjp_tile_sym`) AND the kernel-stack
+    contraction KA_b = (os_b·K_b) @ A_b that the fused MLL's dH/dΣt/dos
+    cotangents need. The profile and dprofile share the transcendental
+    (exp) evaluation, so the marginal VPU cost is a few fmas — and the
+    separate bf16 stack stream (``it._stack_matmul(Ks, R3)``, ~0.8 GB read
+    at n=10⁴) disappears from the backward entirely.
+
+    Race-free WITHOUT full-height resident accumulators (the n≈13k VMEM
+    ceiling of :func:`_lowrank_vjp_tile_sym`): the row-indexed output block
+    is revisited consecutively (the triangular grid is row-major in i), and
+    every mirrored (column-side) contribution goes to a per-TILE slot of
+    ``colred`` — visited exactly once — that the wrapper scatter-adds by
+    column index afterwards. VMEM per grid step is O(tile·(1+d+r)),
+    independent of n."""
+    t = pl.program_id(1)
+    i = idx_ref[0, t]
+    j = idx_ref[1, t]
+    os_b = os_ref[pl.program_id(0), 0]
+    d = x_row_ref.shape[1]
+
+    inv_l = 1.0 / ls_ref[0]
+    a = x_row_ref[:] * inv_l
+    b = x_col_ref[:] * inv_l
+    cross = jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    n1 = jnp.sum(a * a, axis=1, keepdims=True)
+    n2 = jnp.sum(b * b, axis=1, keepdims=True)
+    d2 = jnp.maximum(n1 + n2.T - 2.0 * cross, 0.0)
+    # shared transcendental: profile AND dprofile from one exp evaluation
+    r_ = jnp.sqrt(jnp.maximum(d2, 1e-30))
+    if kind == "rbf":
+        e = _fast_exp_neg(0.5 * d2)
+        prof = e
+        dprof = -0.5 * e
+    elif kind == "matern05":
+        e = _fast_exp_neg(r_)
+        prof = e
+        dprof = jnp.where(d2 <= 1e-12, jnp.zeros_like(d2),
+                          -e / (2.0 * r_))
+    elif kind == "matern15":
+        c = math.sqrt(3.0) * r_
+        e = _fast_exp_neg(c)
+        prof = (1.0 + c) * e
+        dprof = -1.5 * e
+    else:                                   # matern25
+        c = math.sqrt(5.0) * r_
+        e = _fast_exp_neg(c)
+        prof = (1.0 + c + (5.0 / 3.0) * d2) * e
+        dprof = (-5.0 / 6.0) * (1.0 + c) * e
+    K_tile = prof * os_b                                     # (tile, tile)
+    T_ = jax.lax.dot_general(
+        a_ref[0], b_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    W = T_ * dprof
+    rows_t = jnp.sum(W, axis=1)[:, None]                     # (tile, 1)
+    wx_t = jax.lax.dot_general(
+        W, x_col_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                 # (tile, d)
+    # default (bf16-pass) MXU precision: the contraction this replaces read
+    # a bf16 stack from HBM, so bf16-class error here is the status quo —
+    # and HIGHEST fp32 passes made the fused kernel slower than the pair it
+    # replaces (measured 15.7 vs 11.7 ms at n=10240)
+    ka_t = jax.lax.dot_general(                              # K_ij @ A_j
+        K_tile, a2_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (tile, r)
+    out_t = jnp.concatenate([rows_t, wx_t, ka_t], axis=1)[None]
+
+    is_first_for_row = j == 0           # row-major tri: first visit of row i
+
+    @pl.when(is_first_for_row)
+    def _init():
+        out_i_ref[...] = out_t
+
+    @pl.when(jnp.logical_not(is_first_for_row))
+    def _acc():
+        out_i_ref[...] += out_t
+
+    # mirrored (column-side) contributions — per-tile slot, visited once
+    @pl.when(i != j)
+    def _mirror():
+        cols_t = jnp.sum(W, axis=0)[:, None]
+        wxc_t = jax.lax.dot_general(                         # Wᵀ @ x_i
+            W, x_row_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        kac_t = jax.lax.dot_general(                         # K_ijᵀ @ A_i
+            K_tile, a_ref[0], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        colred_ref[...] = jnp.concatenate([cols_t, wxc_t, kac_t],
+                                          axis=1)[None, None]
+
+    @pl.when(i == j)
+    def _diag():
+        colred_ref[...] = jnp.zeros_like(colred_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "interpret"))
+def lowrank_stationary_reduce_sym_kr(x, lengthscale, outputscale, A, Bf,
+                                     kind: str, interpret: bool = False):
+    """(rows, wx, KA) in ONE triangular-grid pass (perf lever 2):
+
+      rows[b,i] = Σ_j W_bij,   wx[b,i,:] = Σ_j W_bij x_j,
+      KA_b      = (os_b · K_b) @ A_b                          (n, r)
+
+    with W_b = (A_b Bfᵀ_b) ⊙ dprofile(d²_b) SYMMETRIC (the fused MLL's
+    factor construction guarantees A Bfᵀ = Bf Aᵀ). Replaces the pair
+    {lowrank_stationary_reduce_sym, separate bf16-stack matmul} in the
+    fused MLL backward: the kernel profile is recomputed per tile sharing
+    the dprofile transcendental, so the stack is never re-read.
+
+    Unlike :func:`lowrank_stationary_reduce_sym`, VMEM use is independent
+    of n (no full-height resident accumulators): mirrored contributions go
+    to per-tile slots scatter-added here by column block. No VMEM gate
+    needed at any n."""
+    n, d = x.shape
+    B, _, r = A.shape
+    tile = _pick_tile(n, n)
+    pad = (-n) % tile
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    Ap = jnp.pad(A, ((0, 0), (0, pad), (0, 0)))
+    Bp = jnp.pad(Bf, ((0, 0), (0, pad), (0, 0)))
+    np_ = n + pad
+    nt = np_ // tile
+    tri = [(i, j) for i in range(nt) for j in range(i + 1)]
+    idx = jnp.asarray(np.array(tri, dtype=np.int32).T)       # (2, T_tri)
+    C = 1 + d + r
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, len(tri)),
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda b, t, idx: (idx[0, t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda b, t, idx: (idx[1, t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda b, t, idx: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda b, t, idx: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, r), lambda b, t, idx: (b, idx[0, t], 0),
+                         memory_space=pltpu.VMEM),        # A at row block i
+            pl.BlockSpec((1, tile, r), lambda b, t, idx: (b, idx[1, t], 0),
+                         memory_space=pltpu.VMEM),        # Bf at col block j
+            pl.BlockSpec((1, tile, r), lambda b, t, idx: (b, idx[1, t], 0),
+                         memory_space=pltpu.VMEM),        # A at col block j
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, C), lambda b, t, idx: (b, idx[0, t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile, C), lambda b, t, idx: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    out_i, colred = pl.pallas_call(
+        functools.partial(_lowrank_vjp_tile_sym_kr, kind, tile),
+        out_shape=(jax.ShapeDtypeStruct((B, np_, C), jnp.float32),
+                   jax.ShapeDtypeStruct((B, len(tri), tile, C), jnp.float32)),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(idx, xp, xp, lengthscale, outputscale.reshape(B, 1), Ap, Bp, Ap)
+    # scatter the per-tile mirrored contributions onto their column blocks
+    j_ids = jnp.asarray(np.array([j for _, j in tri], dtype=np.int32))
+    contrib = jax.ops.segment_sum(jnp.swapaxes(colred, 0, 1), j_ids,
+                                  num_segments=nt)           # (nt, B, tile, C)
+    total = out_i.reshape(B, nt, tile, C) \
+        + jnp.transpose(contrib, (1, 0, 2, 3))
+    total = total.reshape(B, np_, C)
+    return (total[:, :n, 0], total[:, :n, 1:1 + d],
+            total[:, :n, 1 + d:])
+
+
 def xla_kernel_matrix(x1, x2, lengthscale, kind: str = "matern25"):
     """Reference XLA implementation of the same op (used as the VJP rule of
     the fused Pallas forward — kernels.py's non-pallas path, de-duplicated)."""

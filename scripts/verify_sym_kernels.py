@@ -114,6 +114,58 @@ def main():
     out["reduce_speedup"] = round(out["reduce_full_ms"]
                                   / out["reduce_sym_ms"], 3)
 
+    # --- fused kr reduce (production backward since round 3): parity of all
+    # three outputs vs {full-grid reduce, on-chip dense (os·K) @ A} ---
+    rows_k, wx_k, KA = pk.lowrank_stationary_reduce_sym_kr(
+        x, ls, os_, A, Bf, "matern25")
+    err_rows_k = float(jnp.max(jnp.abs(rows_k - rows_f))) / scale
+    err_wx_k = float(jnp.max(jnp.abs(wx_k - wx_f))) / scale_wx
+    Kdense = (pk.xla_kernel_matrix(x, x, ls, "matern25")
+              * os_[:, None, None])
+    KA_ref = jnp.einsum("bij,bjr->bir", Kdense, A,
+                        precision=jax.lax.Precision.HIGHEST)
+    err_ka = float(jnp.max(jnp.abs(KA - KA_ref))
+                   / (jnp.max(jnp.abs(KA_ref)) + 1e-30))
+    out["kr_rows_rel_err"] = err_rows_k
+    out["kr_wx_rel_err"] = err_wx_k
+    out["kr_ka_rel_err"] = err_ka
+    # ka is a bf16-precision-class contraction (see kernel comment)
+    ok &= err_rows_k <= 1e-4 and err_wx_k <= 1e-4 and err_ka <= 2e-2
+    # stability (the Mosaic-revisit class of bug is nondeterministic)
+    for _ in range(2):
+        r2, w2, k2 = pk.lowrank_stationary_reduce_sym_kr(
+            x, ls, os_, A, Bf, "matern25")
+        ok &= float(jnp.max(jnp.abs(r2 - rows_k))) == 0.0
+        ok &= float(jnp.max(jnp.abs(w2 - wx_k))) == 0.0
+        ok &= float(jnp.max(jnp.abs(k2 - KA))) == 0.0
+    out["kr_ms"] = round(timed(
+        lambda a: pk.lowrank_stationary_reduce_sym_kr(x, ls, os_, a, Bf,
+                                                      "matern25"), A), 2)
+    # what the kr pass replaces: sym reduce + separate bf16 stack matmul
+    Ks_bf16 = pk.scaled_kernel_stack_sym(x, ls, os_, "matern25",
+                                         out_dtype=jnp.bfloat16)
+
+    # the stack must be a jit ARGUMENT — as a captured constant it embeds
+    # 840 MB into the program and blows the remote compiler's body limit
+    @jax.jit
+    def _old_pair_chain(a0, Ks):
+        a = a0
+        for _ in range(6):
+            r, w = pk.lowrank_stationary_reduce_sym(x, ls, a, Bf, "matern25")
+            KR = jnp.matmul(Ks.astype(jnp.float32), a,
+                            precision=jax.lax.Precision.HIGHEST)
+            a = a + (0.0 * (r[0, 0] + KR[0, 0, 0])).astype(a.dtype)
+        return a
+
+    o1 = _old_pair_chain(A, Ks_bf16)
+    _sync(o1)
+    t0 = time.time()
+    o1 = _old_pair_chain(o1, Ks_bf16)
+    _sync(o1)
+    out["old_pair_ms"] = round((time.time() - t0) / 6 * 1e3, 2)
+    out["kr_vs_old_pair_speedup"] = round(out["old_pair_ms"] / out["kr_ms"],
+                                          3)
+
     out["parity_ok"] = ok
     print(json.dumps(out))
     return 0 if ok else 1
