@@ -293,6 +293,28 @@ class TestPallasInterpret:
         np.testing.assert_allclose(np.asarray(wx_s), np.asarray(wx_f),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_kr_routing(self):
+        """_use_kr_fused: env override wins; otherwise kr engages exactly
+        where the resident-accumulator sym reduce would not fit VMEM."""
+        from projected_lmc_tpu.ops import fused_mll as fm
+        small_x = np.zeros((4096, 4), np.float32)
+        big_x = np.zeros((20480, 4), np.float32)
+        A_small = np.zeros((4, 4096, 17), np.float32)
+        A_big = np.zeros((4, 20480, 17), np.float32)
+        assert fm._sym_reduce_fits_vmem(small_x, A_small)
+        assert not fm._sym_reduce_fits_vmem(big_x, A_big)
+        old = fm._KR_ENV
+        try:
+            fm._KR_ENV = None
+            assert not fm._use_kr_fused(small_x, A_small)
+            assert fm._use_kr_fused(big_x, A_big)
+            fm._KR_ENV = "1"
+            assert fm._use_kr_fused(small_x, A_small)
+            fm._KR_ENV = "0"
+            assert not fm._use_kr_fused(big_x, A_big)
+        finally:
+            fm._KR_ENV = old
+
     def test_lowrank_reduce_sym_kr(self):
         """The fully-fused backward kernel (rows + wx + KA in one pass,
         perf lever 2) == {full-grid reduce, dense (os·K) @ A}."""
