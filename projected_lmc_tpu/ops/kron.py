@@ -144,8 +144,14 @@ def _icm_chol_bwd(jitter, chol_bf16, chol_block, res, g):
     eigenbasis (degenerate eigenvalues are harmless: only eigen-PROJECTIONS
     enter, never eigenvector derivatives)."""
     K, B, Sigma_t, Ydelta = res
-    fac = icm_eig_factors(K, B, Sigma_t, jitter=jitter)
-    A = icm_solve(Ydelta, fac)                              # (n, t)
+    # mixed-precision callers exist (e.g. an f32 likelihood on an f64
+    # model): compute in the promoted dtype, return cotangents in each
+    # primal's own dtype (what autodiff's per-op transpose rules produce)
+    ct = jnp.result_type(K.dtype, B.dtype, Sigma_t.dtype, Ydelta.dtype)
+    Kp, Bp = K.astype(ct), B.astype(ct)
+    Stp, Yp = Sigma_t.astype(ct), Ydelta.astype(ct)
+    fac = icm_eig_factors(Kp, Bp, Stp, jitter=jitter)
+    A = icm_solve(Yp, fac)                                  # (n, t)
     lam, gam, S = fac["lam"], fac["gam"], fac["S"]
     U, V, Rt = fac["U"], fac["V"], fac["Rt"]
     Sinv = 1.0 / S                                          # (n, t)
@@ -157,11 +163,11 @@ def _icm_chol_bwd(jitter, chol_bf16, chol_block, res, g):
     MB = _mm(P * v[None, :], P.T)
     MS = _mm(P * u[None, :], P.T)
     n = K.shape[-1]
-    Kj = K + jitter * jnp.eye(n, dtype=K.dtype)
-    dK = (0.5 * g) * (_mm(_mm(A, B), A.T) - MK)
-    dB = (0.5 * g) * (_mm(_mm(A.T, Kj), A) - MB)
-    dSt = (0.5 * g) * (_mm(A.T, A) - MS)
-    dY = -g * A
+    Kj = Kp + jitter * jnp.eye(n, dtype=ct)
+    dK = ((0.5 * g) * (_mm(_mm(A, Bp), A.T) - MK)).astype(K.dtype)
+    dB = ((0.5 * g) * (_mm(_mm(A.T, Kj), A) - MB)).astype(B.dtype)
+    dSt = ((0.5 * g) * (_mm(A.T, A) - MS)).astype(Sigma_t.dtype)
+    dY = (-g * A).astype(Ydelta.dtype)
     return dK, dB, dSt, dY
 
 
