@@ -20,7 +20,7 @@ i.e. vs_baseline > 10 means target met. Falls back to the round-1 documented
 estimate of 0.5 it/s only if the measurement file is absent.
 
 Budget discipline (round-1 postmortem: rc=124, all results lost):
-  * one global deadline (BENCH_DEADLINE_S, default 450 s) — a SIGALRM handler
+  * one global deadline (BENCH_DEADLINE_S, default 870 s) — a SIGALRM handler
     prints whatever has been collected as the final JSON line and exits 0;
   * the config ladder runs smallest-first so a number always lands before the
     target scale is attempted;
@@ -50,7 +50,12 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
-DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 450))
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 870))
+# 870 not 450: tunnel compile latency varies ~3x run-to-run (measured: the
+# same ladder finished in 307 s one hour and could not fit one extra config
+# in 390 s the next). Stages exit as soon as their work is done — a fast
+# day still ends around 5-6 min — and an EXTERNAL SIGTERM (e.g. from
+# `timeout`) triggers the same best-so-far emit as the internal deadline.
 T_START = time.time()
 
 
@@ -561,24 +566,66 @@ def _stage_env():
     return env
 
 
-def _run_stage(args, timeout_s):
+def _run_stage(args, timeout_s, first_output_s=150):
     """Run one measurement stage in a subprocess (own TPU claim; compile
     crashes stay isolated). Returns (list_of_RESULT_payloads, error) — a
     stage may print several incremental RESULT lines; on timeout whatever
-    already printed is kept (the TimeoutExpired carries partial stdout)."""
+    already printed is kept.
+
+    ``first_output_s``: a stage that produces NO stdout at all within this
+    window is almost certainly hung on a stale tunnel claim (measured: a
+    healthy claim + first compile prints within ~2-4 min; a stale claim
+    hangs silently for the whole budget) — kill it early so the caller's
+    retry still has budget."""
     import subprocess
     cmd = [sys.executable, __file__, "--stage"] + [str(a) for a in args]
-    stdout, err = "", None
-    try:
-        out = subprocess.run(cmd, capture_output=True, text=True,
-                             timeout=timeout_s, env=_stage_env())
-        stdout = out.stdout or ""
-        if out.returncode != 0:
-            err = (out.stderr.strip().splitlines() or ["unknown"])[-1][:160]
-    except subprocess.TimeoutExpired as e:
-        stdout = (e.output.decode() if isinstance(e.output, bytes)
-                  else e.output) or ""
-        err = "timeout"
+    err = None
+    chunks = []
+    with open("/tmp/.bench_stage_stderr", "wb") as errf:
+        proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=errf,
+                                env=_stage_env())
+        fd = proc.stdout.fileno()
+        os.set_blocking(fd, False)
+
+        def _drain():
+            while True:
+                try:
+                    b = os.read(fd, 65536)
+                except (BlockingIOError, OSError):
+                    return
+                if not b:
+                    return
+                chunks.append(b)
+
+        t0 = time.time()
+        deadline = t0 + timeout_s
+        first_deadline = t0 + min(first_output_s, timeout_s)
+        while True:
+            _drain()
+            if proc.poll() is not None:
+                _drain()
+                if proc.returncode != 0:
+                    try:
+                        txt = open("/tmp/.bench_stage_stderr", "rb"
+                                   ).read().decode("utf-8", "replace").strip()
+                        err = (txt.splitlines() or ["unknown"])[-1][:160]
+                    except OSError:
+                        err = f"stage exited rc={proc.returncode}"
+                break
+            now = time.time()
+            if not chunks and now > first_deadline:
+                proc.kill()
+                proc.wait()
+                err = f"no output within {int(first_output_s)}s (stale claim?)"
+                break
+            if now > deadline:
+                proc.kill()
+                _drain()
+                proc.wait()
+                err = "timeout"
+                break
+            time.sleep(1.0)
+    stdout = b"".join(chunks).decode("utf-8", "replace")
     results = [json.loads(line[len("RESULT "):])
                for line in stdout.splitlines() if line.startswith("RESULT ")]
     return results, (None if results and err is None else err)
@@ -587,6 +634,9 @@ def _run_stage(args, timeout_s):
 def main():
     _reexec_without_claim()
     signal.signal(signal.SIGALRM, _alarm_handler)
+    # an external `timeout`/driver kill sends SIGTERM first: emit whatever
+    # has been measured instead of dying silently (SIGKILL is unrecoverable)
+    signal.signal(signal.SIGTERM, _alarm_handler)
     signal.alarm(max(int(DEADLINE_S) - 10, 30))
     details = STATE["details"]
 
@@ -594,7 +644,7 @@ def main():
     # ladder SMALLEST-FIRST (the TPU claim alone costs ~20-40 s per process)
     # printing an incremental RESULT per config, so a number always lands
     # even if the largest config times out mid-stage.
-    ladder_budget = max(min(_remaining() - 60, 400), 60)
+    ladder_budget = max(min(_remaining() - 60, 700), 60)
     results, err = _run_stage(["ladder", int(ladder_budget)],
                               timeout_s=ladder_budget)
     if not results and _remaining() > 150:
@@ -704,6 +754,9 @@ def main():
 
 def _stage_main(argv):
     _ensure_tpu()
+    # heartbeat for _run_stage's stale-claim watchdog: any stdout before the
+    # first RESULT proves the chip claim succeeded and compiles are underway
+    print("STAGE_CLAIMED", flush=True)
     kind = argv[0]
     if kind == "ladder":
         deadline = time.time() + (float(argv[1]) if len(argv) > 1 else 340)
@@ -712,12 +765,11 @@ def _stage_main(argv):
             return deadline - time.time()
 
         # judge-critical results first, all inside ONE chip claim, each
-        # flushed incrementally so a timeout keeps everything already done:
-        # small sanity point -> headline spread -> sym-kernel stability ->
-        # n=20k stretch -> remaining extras.
-        v = bench_exact_lmc(n=2000, T=7, q=4)
-        print("RESULT", json.dumps({"n": 2000, "iters_per_sec": v}),
-              flush=True)
+        # flushed incrementally so a timeout keeps everything already done.
+        # Tunnel compile latency varies 3x between runs (measured: the same
+        # ladder fit 9 items in 400 s one hour and 2 the next), so the order
+        # is strict priority: headline spread -> sym-kernel stability ->
+        # n=2k -> n=20k stretch -> n=5k -> remaining extras.
         # headline config: >=3 timed repeats of the compiled program; the
         # headline value is the MEDIAN, spread carried alongside (the
         # tunneled chip shows ~4% run-to-run variance — PERF_NOTES)
@@ -736,6 +788,10 @@ def _stage_main(argv):
             except Exception as e:
                 print("RESULT", json.dumps(
                     {"sym_stability_error": repr(e)[:160]}), flush=True)
+        if left() > 50:
+            v = bench_exact_lmc(n=2000, T=7, q=4)
+            print("RESULT", json.dumps({"n": 2000, "iters_per_sec": v}),
+                  flush=True)
         if left() > 110:
             try:
                 v = bench_exact_lmc(n=20000, T=7, q=4, steps=4, reps=2)
@@ -744,7 +800,7 @@ def _stage_main(argv):
             except Exception as e:
                 print("RESULT", json.dumps(
                     {"stretch_inladder_error": repr(e)[:160]}), flush=True)
-        if left() > 40:
+        if left() > 50:
             v = bench_exact_lmc(n=5000, T=7, q=4)
             print("RESULT", json.dumps({"n": 5000, "iters_per_sec": v}),
                   flush=True)
