@@ -283,4 +283,11 @@ def run_study(v_test: str = "void", v_test_2: str = "void",
                 df_part = pd.concat([df_part, df_conv_part], axis=0)
             partial = path[:-4] + f"_{i_run + 1}runs.csv"
             df_part.to_csv(partial)
+            if i_run + 1 == n_random_runs:
+                # also honor the requested path itself — callers (and the
+                # round-3 builder, measurably) expect --out to exist; the
+                # reference writes only suffixed landmarks (experiments.py:
+                # 367-380), which cost this repo a 4.5 h study that looked
+                # like a silent failure because only *_1runs.csv was written
+                df_part.to_csv(path)
     return results

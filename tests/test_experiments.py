@@ -81,6 +81,12 @@ class TestRunStudy:
         for col in ("RMSE", "R2", "PVA", "alpha_CI", "train_time", "n_iter"):
             assert col in df.columns
         assert any(k.startswith("PLMC_fast") for k in res)
+        # the requested path itself is written at the final run (the
+        # reference writes only suffixed landmarks — a 4.5 h chip study
+        # looked like a silent failure because of that)
+        final = pd.read_csv(tmp_path / "study.csv", index_col=0)
+        landmark = pd.read_csv(tmp_path / "study_2runs.csv", index_col=0)
+        pd.testing.assert_frame_equal(final, landmark)
 
     def test_reject_nonconverged_runs(self, tmp_path):
         """With the filter on, landmark CSVs gain *_conv rows averaged over
