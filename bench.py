@@ -82,17 +82,26 @@ def _load_baseline():
         with open(path) as f:
             d = json.load(f)
         est = float(d["a100_gpytorch_iters_per_sec_est"])
-        sol = float(d["a100_algorithm_sol_iters_per_sec"])
-        phases = {k: v for k, v in d["a100_phase_seconds"].items()
-                  if k != "total"}
-        ratios = d["host_model_ratio"]
-        pess = 1.0 / sum(t * float(ratios[ph]) for ph, t in phases.items())
+        # interval keys degrade per-key: a baseline file predating them must
+        # NOT discard the measured est denominator (ADVICE r3)
+        sol = None
+        pess = None
+        try:
+            sol = float(d["a100_algorithm_sol_iters_per_sec"])
+            phases = {k: v for k, v in d["a100_phase_seconds"].items()
+                      if k != "total"}
+            ratios = d["host_model_ratio"]
+            pess = 1.0 / sum(t * float(ratios[ph])
+                             for ph, t in phases.items())
+        except (KeyError, ValueError, TypeError, ZeroDivisionError):
+            pass
         meta = {
             "baseline_source": "results/baseline_torch.json (measured)",
             "baseline_host_cpu_iters_per_sec": d.get("host_cpu_iters_per_sec"),
             "baseline_a100_est_iters_per_sec": est,
             "baseline_a100_sol_iters_per_sec": sol,
-            "baseline_a100_pessimistic_iters_per_sec": round(pess, 4),
+            "baseline_a100_pessimistic_iters_per_sec":
+                round(pess, 4) if pess is not None else None,
             "baseline_interval_note": (
                 "a100 baseline plausibly in [pessimistic, sol] it/s: sol = "
                 "pure roofline (no eager overhead at all); pessimistic = "
@@ -126,6 +135,34 @@ def _remaining():
     return DEADLINE_S - (time.time() - T_START)
 
 
+def _compact_summary(out):
+    """Judge-critical fields only, guaranteed well under the driver's
+    2000-char stdout tail capture (VERDICT r3 item 5: BENCH_r03's single
+    full line overflowed it, leaving parsed=null)."""
+    d = out["details"]
+    c = {"metric": out["metric"], "value": out["value"],
+         "unit": out["unit"], "vs_baseline": out["vs_baseline"]}
+    cd = {}
+    for k in ("lmc_n10000_spread", "vs_baseline_est", "vs_baseline_sol",
+              "vs_baseline_interval", "lmc_iters_per_sec_n20000",
+              "lmc_iters_per_sec_n2000", "lmc_iters_per_sec_n5000",
+              "cholesky_gflops_8192", "plmc_sgpr_predict",
+              "svgp_elbo_iters_per_sec", "chip", "bench_wall_s", "error"):
+        if k in d:
+            cd[k] = d[k]
+    if isinstance(d.get("sym_kernel_stability"), dict):
+        cd["sym_stable_ok"] = d["sym_kernel_stability"].get("stable_ok")
+    cd["full_details"] = "previous stdout line + BENCH_full.json"
+    c["details"] = cd
+    line = json.dumps(c)
+    if len(line) > 1900:  # belt and braces: drop to the bare minimum
+        c["details"] = {"sym_stable_ok": cd.get("sym_stable_ok"),
+                        "vs_baseline_interval":
+                            cd.get("vs_baseline_interval")}
+        line = json.dumps(c)
+    return line
+
+
 def _emit(final: bool = True):
     out = dict(STATE)
     out["details"] = dict(STATE["details"], bench_wall_s=round(time.time() - T_START, 1))
@@ -136,11 +173,17 @@ def _emit(final: bool = True):
             "error", "no LMC config completed within the deadline")
     line = json.dumps(out)
     if final:
+        # full details line first, compact parseable summary LAST — the
+        # driver tail-captures ~2000 chars and parses the last JSON line
         print(line)
+        print(_compact_summary(out))
         sys.stdout.flush()
     try:
         with open(".bench_partial.json", "w") as f:
             f.write(line + "\n")
+        if final:
+            with open("BENCH_full.json", "w") as f:
+                f.write(line + "\n")
     except OSError:
         pass
 

@@ -67,12 +67,12 @@ SYM_BUILD = os.environ.get("PLMC_SYM_BUILD", "1") == "1"
 # (~n=13k) the old path falls back to the FULL-grid reduce, where kr wins
 # big.  Routing: kr whenever the sym reduce would not fit VMEM; force with
 # PLMC_KR_FUSED=1/0.
-_KR_ENV = os.environ.get("PLMC_KR_FUSED")
-
-
 def _use_kr_fused(xc, A):
-    if _KR_ENV is not None:
-        return _KR_ENV == "1"
+    # read at trace time (not import time) so setting PLMC_KR_FUSED after
+    # import still takes effect (ADVICE r3)
+    env = os.environ.get("PLMC_KR_FUSED")
+    if env is not None:
+        return env == "1"
     return not _sym_reduce_fits_vmem(xc, A)
 
 

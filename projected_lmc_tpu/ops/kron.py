@@ -44,6 +44,10 @@ def icm_eig_factors(K, B, Sigma_t, jitter: float = 1e-8):
     tmp = solve_triangular(Rt, B, lower=True)
     B_tilde = solve_triangular(Rt, tmp.T, lower=True).T
     gam, V = jnp.linalg.eigh(symmetrize(B_tilde))
+    # B̃ ⪰ 0; eigh rounding can dip a hair negative, and with large λmax(K)
+    # an S entry λγ+1 could then reach ~0 (Sinv blow-up in the analytic
+    # backward, log(S) noise in the forward). Same guard as the chol path.
+    gam = jnp.clip(gam, 0.0)
     Kj = K + jitter * jnp.eye(n, dtype=K.dtype)
     lam, U = jnp.linalg.eigh(symmetrize(Kj))
     S = lam[:, None] * gam[None, :] + 1.0

@@ -303,17 +303,21 @@ class TestPallasInterpret:
         A_big = np.zeros((4, 20480, 17), np.float32)
         assert fm._sym_reduce_fits_vmem(small_x, A_small)
         assert not fm._sym_reduce_fits_vmem(big_x, A_big)
-        old = fm._KR_ENV
+        import os
+        old = os.environ.pop("PLMC_KR_FUSED", None)
         try:
-            fm._KR_ENV = None
             assert not fm._use_kr_fused(small_x, A_small)
             assert fm._use_kr_fused(big_x, A_big)
-            fm._KR_ENV = "1"
+            # env override is read at trace time, not import time (ADVICE r3)
+            os.environ["PLMC_KR_FUSED"] = "1"
             assert fm._use_kr_fused(small_x, A_small)
-            fm._KR_ENV = "0"
+            os.environ["PLMC_KR_FUSED"] = "0"
             assert not fm._use_kr_fused(big_x, A_big)
         finally:
-            fm._KR_ENV = old
+            if old is None:
+                os.environ.pop("PLMC_KR_FUSED", None)
+            else:
+                os.environ["PLMC_KR_FUSED"] = old
 
     def test_lowrank_reduce_sym_kr(self):
         """The fully-fused backward kernel (rows + wx + KA in one pass,
