@@ -97,10 +97,17 @@ def _skm_fwd(x1, x2, ls, kind, use_pallas, out_dtype=None):
     mu = jax.lax.stop_gradient(jnp.mean(x1, axis=0))
     x1c, x2c = x1 - mu, x2 - mu
     # multi-TPU routes through the XLA build: pallas_call is not
-    # automatically partitionable under pjit, the einsum build is
+    # automatically partitionable under pjit, the einsum build is.
+    # bf16-out non-symmetric builds also route to XLA: measured SLOWER in
+    # Pallas (bench_pallas_delta bf16 0.94x vs XLA build+fused cast, r3 —
+    # the downcast epilogue stalls the tile pipeline; the symmetric
+    # training-stack builder, 1.23x, is unaffected — it lives in
+    # fused_mll._scaled_stack).
     if use_pallas and jax.default_backend() == "tpu" \
             and jax.device_count() == 1 \
-            and x1.dtype == jnp.float32:
+            and x1.dtype == jnp.float32 \
+            and not (out_dtype is not None
+                     and jnp.dtype(out_dtype) == jnp.bfloat16):
         from .ops.pallas_kernels import fused_kernel_matrix
         K = fused_kernel_matrix(x1c, x2c, ls, kind, False, out_dtype)
     else:

@@ -124,13 +124,35 @@ def _lowrank_reduce(xc, ls, A, Bf, kind):
     return rows, wx
 
 
-def _lowrank_reduce_kr(xc, ls, os_, A, Bf, kind):
+def _use_kr_stream(Ks):
+    """Streamed-K backward (VERDICT r3 item 4): read the HBM-resident stack
+    and recover dprofile by a rational identity instead of re-evaluating the
+    exp2 sequence. MEASURED A WASH on a v5e (scripts/verify_sym_kernels +
+    /tmp probe, round 4): 13.12 vs 12.67 ms at n=10240 and 38.01 vs
+    37.72 ms at n=20480 against the recompute kr pass — the backward is
+    bound by the shared tile work (T/KA matmuls, W reductions, per-tile
+    DMA), not by the transcendental pass the stream eliminates. Default OFF;
+    kept (with parity tests) as the measured answer to the 'one algebraic
+    lever looks untried' question. Force with PLMC_KR_STREAM=1 (trace-time;
+    int8 stacks unsupported — their dequant lives in the int8 branch)."""
+    env = os.environ.get("PLMC_KR_STREAM")
+    if env is not None:
+        return env == "1" and Ks.dtype != jnp.int8
+    return False
+
+
+def _lowrank_reduce_kr(xc, ls, os_, A, Bf, kind, Ks=None):
     """(rows, wx, KA) — the fully-fused backward pass (perf lever 2):
-    the kernel-cotangent reductions PLUS KA_b = (os_b·K_b) @ A_b from the
-    same per-tile recompute, so the backward never re-reads the bf16 kernel
-    stack from HBM. Pallas triangular grid on TPU (VMEM-flat at any n —
-    no resident full-height accumulators, no gate); dense XLA elsewhere."""
+    the kernel-cotangent reductions PLUS KA_b = (os_b·K_b) @ A_b in one
+    triangular-grid pass. With ``Ks`` (the os-scaled stack, alive in HBM as
+    a CG residual) and PLMC_KR_STREAM on, the Pallas pass STREAMS the stack
+    tiles and recovers dprofile algebraically instead of re-evaluating exp
+    (lever: results/PERF_NOTES.md 'Remaining n=20k headroom'). Pallas on
+    TPU (VMEM-flat at any n); dense XLA elsewhere."""
     if _use_pallas(xc) and SYM_BUILD:
+        if Ks is not None and _use_kr_stream(Ks):
+            return pk.lowrank_stationary_reduce_sym_krs(xc, ls, os_, A, Bf,
+                                                        Ks, kind)
         return pk.lowrank_stationary_reduce_sym_kr(xc, ls, os_, A, Bf, kind)
     a = xc[None] / ls
     n1 = jnp.sum(a * a, axis=-1)
@@ -220,8 +242,11 @@ def _fused_bwd(kind, max_cg_iters, cg_tol, matvec_bf16, precond_rank,
                            axis=-1) * os_[:, None, None]
     fdt = jnp.float64 if xc.dtype == jnp.float64 else jnp.float32
 
+    # the recompute kr pass keeps its VMEM gate (it only beats {sym reduce +
+    # stack matmul} above the reduce's resident-accumulator ceiling); the
+    # streamed-K pass is opt-in only — measured a wash (see _use_kr_stream)
     fused_tpu = (Ks.dtype != jnp.int8 and _use_pallas(xc) and SYM_BUILD
-                 and _use_kr_fused(xc, Afac))
+                 and (_use_kr_stream(Ks) or _use_kr_fused(xc, Afac)))
     if fused_tpu:
         # perf lever 2 (PERF_NOTES): ONE Pallas pass yields the lengthscale
         # reductions AND KA = (os·K) @ Afac — the backward's stack stream
@@ -230,7 +255,7 @@ def _fused_bwd(kind, max_cg_iters, cg_tol, matvec_bf16, precond_rank,
         # transcendental. KR's layout (r, n, q) is KA's (q, n, r) transposed.
         rows, wx, KA = _lowrank_reduce_kr(
             xc, ls, os_.astype(fdt), Afac.astype(fdt), Bfac.astype(fdt),
-            kind)
+            kind, Ks=Ks)
         KR = jnp.transpose(KA, (2, 1, 0))
     elif Ks.dtype == jnp.int8:
         # int8 stack without outputscale: quantize R3 per (probe, latent)

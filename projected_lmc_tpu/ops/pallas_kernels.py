@@ -700,6 +700,170 @@ def lowrank_stationary_reduce_sym_kr(x, lengthscale, outputscale, A, Bf,
             total[:, :n, 1 + d:])
 
 
+def _lowrank_vjp_tile_sym_krs(kind, tile, idx_ref, x_row_ref, x_col_ref,
+                              ls_ref, os_ref, a_ref, b_ref, a2_ref, k_ref,
+                              out_i_ref, colred_ref):
+    """Streamed-K variant of :func:`_lowrank_vjp_tile_sym_kr` (VERDICT r3
+    item 4): the kernel STACK TILE is read from HBM (it is already
+    materialized for CG) and dprofile is recovered from it by the rational
+    identity — for Matern-2.5, e^{-c} = prof/(1+c+c²/3), so
+    dprof = −(5/6)(1+c)/(1+c+(5/3)d²) · prof — eliminating the exp2
+    sequence (the dominant VPU cost of the backward pass) entirely. d² is
+    recomputed on the MXU as before (sqrt ≪ exp on the VPU); for RBF not
+    even that is needed (dprof = −K/2os).
+
+    The streamed tile is os-scaled at the producer, so the recovered dprof
+    carries an extra os_b that the caller's Bfac folding would double-count
+    — divided out in-tile. Non-divisible n: the K stack is NOT padded (a
+    pad would copy the multi-GB stack); boundary blocks may contain
+    arbitrary memory, masked to 0 via isfinite (the A/B factors are
+    zero-padded, so finite garbage already cancels exactly)."""
+    t = pl.program_id(1)
+    i = idx_ref[0, t]
+    j = idx_ref[1, t]
+    os_b = os_ref[pl.program_id(0), 0]
+
+    Kt = k_ref[0].astype(jnp.float32)                        # (tile, tile)
+    Kt = jnp.where(jnp.isfinite(Kt), Kt, 0.0)
+    if kind == "rbf":
+        dprofK = (-0.5 / os_b) * Kt
+    else:
+        inv_l = 1.0 / ls_ref[0]
+        a = x_row_ref[:] * inv_l
+        b = x_col_ref[:] * inv_l
+        cross = jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        n1 = jnp.sum(a * a, axis=1, keepdims=True)
+        n2 = jnp.sum(b * b, axis=1, keepdims=True)
+        d2 = jnp.maximum(n1 + n2.T - 2.0 * cross, 0.0)
+        r_ = jnp.sqrt(jnp.maximum(d2, 1e-30))
+        if kind == "matern05":
+            dprofK = jnp.where(d2 <= 1e-12, jnp.zeros_like(d2),
+                               (-0.5 / os_b) * Kt / r_)
+        elif kind == "matern15":
+            c = math.sqrt(3.0) * r_
+            dprofK = (-1.5 / os_b) * Kt / (1.0 + c)
+        else:                               # matern25
+            c = math.sqrt(5.0) * r_
+            dprofK = ((-5.0 / 6.0) / os_b) * Kt * (1.0 + c) \
+                / (1.0 + c + (5.0 / 3.0) * d2)
+    T_ = jax.lax.dot_general(
+        a_ref[0], b_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    W = T_ * dprofK
+    rows_t = jnp.sum(W, axis=1)[:, None]                     # (tile, 1)
+    wx_t = jax.lax.dot_general(
+        W, x_col_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                 # (tile, d)
+    # same MXU precision rationale as the kr kernel: the tile replaces a
+    # bf16 HBM stream, bf16-pass error is the status quo
+    ka_t = jax.lax.dot_general(                              # K_ij @ A_j
+        Kt, a2_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (tile, r)
+    out_t = jnp.concatenate([rows_t, wx_t, ka_t], axis=1)[None]
+
+    is_first_for_row = j == 0
+
+    @pl.when(is_first_for_row)
+    def _init():
+        out_i_ref[...] = out_t
+
+    @pl.when(jnp.logical_not(is_first_for_row))
+    def _acc():
+        out_i_ref[...] += out_t
+
+    @pl.when(i != j)
+    def _mirror():
+        cols_t = jnp.sum(W, axis=0)[:, None]
+        wxc_t = jax.lax.dot_general(                         # Wᵀ @ x_i
+            W, x_row_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        kac_t = jax.lax.dot_general(                         # K_ijᵀ @ A_i
+            Kt, a_ref[0], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        colred_ref[...] = jnp.concatenate([cols_t, wxc_t, kac_t],
+                                          axis=1)[None, None]
+
+    @pl.when(i == j)
+    def _diag():
+        colred_ref[...] = jnp.zeros_like(colred_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "interpret"))
+def lowrank_stationary_reduce_sym_krs(x, lengthscale, outputscale, A, Bf,
+                                      Ks, kind: str, interpret: bool = False):
+    """(rows, wx, KA) like :func:`lowrank_stationary_reduce_sym_kr`, but the
+    kernel stack ``Ks`` (B, n, n) — os-scaled, FULL/mirrored, bf16 or fp32,
+    already in HBM for the CG forward — is STREAMED tile-by-tile instead of
+    recomputed: the backward's transcendental pass (exp2 sequence per
+    entry, the measured n=20k bottleneck) is replaced by an HBM read plus a
+    rational correction (sqrt + divide). Lower-triangular tiles only
+    (~half the stack bytes). Accuracy: the stack's own dtype rounding
+    (bf16 ~0.4% rel) enters dprofile and hence the lengthscale gradient —
+    same class as the CG matvecs that use the very same stack."""
+    n, d = x.shape
+    B, _, r = A.shape
+    tile = _pick_tile(n, n)
+    pad = (-n) % tile
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    Ap = jnp.pad(A, ((0, 0), (0, pad), (0, 0)))
+    Bp = jnp.pad(Bf, ((0, 0), (0, pad), (0, 0)))
+    np_ = n + pad
+    nt = np_ // tile
+    tri = [(i, j) for i in range(nt) for j in range(i + 1)]
+    idx = jnp.asarray(np.array(tri, dtype=np.int32).T)       # (2, T_tri)
+    C = 1 + d + r
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, len(tri)),
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda b, t, idx: (idx[0, t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d), lambda b, t, idx: (idx[1, t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda b, t, idx: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda b, t, idx: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, r), lambda b, t, idx: (b, idx[0, t], 0),
+                         memory_space=pltpu.VMEM),        # A at row block i
+            pl.BlockSpec((1, tile, r), lambda b, t, idx: (b, idx[1, t], 0),
+                         memory_space=pltpu.VMEM),        # Bf at col block j
+            pl.BlockSpec((1, tile, r), lambda b, t, idx: (b, idx[1, t], 0),
+                         memory_space=pltpu.VMEM),        # A at col block j
+            pl.BlockSpec((1, tile, tile),
+                         lambda b, t, idx: (b, idx[0, t], idx[1, t]),
+                         memory_space=pltpu.VMEM),        # K stack, unpadded
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, C), lambda b, t, idx: (b, idx[0, t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile, C), lambda b, t, idx: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    out_i, colred = pl.pallas_call(
+        functools.partial(_lowrank_vjp_tile_sym_krs, kind, tile),
+        out_shape=(jax.ShapeDtypeStruct((B, np_, C), jnp.float32),
+                   jax.ShapeDtypeStruct((B, len(tri), tile, C), jnp.float32)),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(idx, xp, xp, lengthscale, outputscale.reshape(B, 1), Ap, Bp, Ap, Ks)
+    j_ids = jnp.asarray(np.array([j for _, j in tri], dtype=np.int32))
+    contrib = jax.ops.segment_sum(jnp.swapaxes(colred, 0, 1), j_ids,
+                                  num_segments=nt)           # (nt, B, tile, C)
+    total = out_i.reshape(B, nt, tile, C) \
+        + jnp.transpose(contrib, (1, 0, 2, 3))
+    total = total.reshape(B, np_, C)
+    return (total[:, :n, 0], total[:, :n, 1:1 + d],
+            total[:, :n, 1 + d:])
+
+
 def xla_kernel_matrix(x1, x2, lengthscale, kind: str = "matern25"):
     """Reference XLA implementation of the same op (used as the VJP rule of
     the fused Pallas forward — kernels.py's non-pallas path, de-duplicated)."""

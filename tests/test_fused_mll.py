@@ -346,6 +346,89 @@ class TestPallasInterpret:
             np.testing.assert_allclose(np.asarray(KA), np.asarray(KA_ref),
                                        rtol=2e-3, atol=2e-2)
 
+    def test_lowrank_reduce_sym_krs(self):
+        """Streamed-K backward (VERDICT r4 lever): reading the os-scaled
+        stack and recovering dprofile algebraically == the recompute kernel,
+        for every stationary kind, including a non-tile-multiple n (the K
+        stack is NOT padded — boundary blocks are masked in-tile)."""
+        rng = np.random.default_rng(11)
+        d, B, r2 = 3, 2, 4
+        for n in (200, 130):           # 130: 128-tile boundary block
+            x = jnp.asarray(rng.uniform(-1, 1, (n, d)).astype(np.float32))
+            ls = jnp.asarray(
+                rng.uniform(0.5, 1.5, (B, 1, d)).astype(np.float32))
+            os_ = jnp.asarray(rng.uniform(0.5, 2.0, (B,)).astype(np.float32))
+            U = rng.standard_normal((B, n, r2)).astype(np.float32)
+            V = rng.standard_normal((B, n, r2)).astype(np.float32)
+            A = jnp.asarray(np.concatenate([U, V], -1))
+            Bf = jnp.asarray(np.concatenate([V, U], -1))
+            for kind in ("matern25", "matern15", "matern05", "rbf"):
+                Ks = pk.xla_kernel_matrix(x, x, ls, kind) \
+                    * os_[:, None, None]
+                rows, wx, KA = pk.lowrank_stationary_reduce_sym_krs(
+                    x, ls, os_, A, Bf, Ks, kind, interpret=True)
+                rows_f, wx_f = pk.lowrank_stationary_reduce(
+                    x, ls, A, Bf, kind, interpret=True)
+                KA_ref = jnp.einsum("bij,bjr->bir", Ks, A)
+                np.testing.assert_allclose(
+                    np.asarray(rows), np.asarray(rows_f),
+                    rtol=1e-3, atol=5e-3, err_msg=f"{kind} n={n}")
+                np.testing.assert_allclose(
+                    np.asarray(wx), np.asarray(wx_f),
+                    rtol=1e-3, atol=5e-3, err_msg=f"{kind} n={n}")
+                np.testing.assert_allclose(
+                    np.asarray(KA), np.asarray(KA_ref),
+                    rtol=2e-3, atol=2e-2, err_msg=f"{kind} n={n}")
+
+    def test_lowrank_reduce_sym_krs_bf16_stack(self):
+        """bf16 stack: dprofile inherits the stack's rounding — the
+        documented accuracy class (same stack the CG matvecs consume)."""
+        rng = np.random.default_rng(13)
+        n, d, B, r2 = 200, 3, 2, 4
+        x = jnp.asarray(rng.uniform(-1, 1, (n, d)).astype(np.float32))
+        ls = jnp.asarray(rng.uniform(0.5, 1.5, (B, 1, d)).astype(np.float32))
+        os_ = jnp.asarray(rng.uniform(0.5, 2.0, (B,)).astype(np.float32))
+        U = rng.standard_normal((B, n, r2)).astype(np.float32)
+        V = rng.standard_normal((B, n, r2)).astype(np.float32)
+        A = jnp.asarray(np.concatenate([U, V], -1))
+        Bf = jnp.asarray(np.concatenate([V, U], -1))
+        Ksf = pk.xla_kernel_matrix(x, x, ls, "matern25") * os_[:, None, None]
+        rows, wx, KA = pk.lowrank_stationary_reduce_sym_krs(
+            x, ls, os_, A, Bf, Ksf.astype(jnp.bfloat16), "matern25",
+            interpret=True)
+        rows_f, wx_f = pk.lowrank_stationary_reduce(
+            x, ls, A, Bf, "matern25", interpret=True)
+        KA_ref = jnp.einsum("bij,bjr->bir", Ksf, A)
+        np.testing.assert_allclose(np.asarray(rows), np.asarray(rows_f),
+                                   rtol=2e-2, atol=5e-2)
+        np.testing.assert_allclose(np.asarray(wx), np.asarray(wx_f),
+                                   rtol=2e-2, atol=5e-2)
+        np.testing.assert_allclose(np.asarray(KA), np.asarray(KA_ref),
+                                   rtol=2e-2, atol=2e-1)
+
+    def test_krs_routing(self):
+        """PLMC_KR_STREAM: default OFF (measured a wash vs the recompute kr
+        pass on-chip — see _use_kr_stream), env-forceable at trace time,
+        never engages for int8 stacks."""
+        from projected_lmc_tpu.ops import fused_mll as fm
+        import os as _os
+        bf = jnp.zeros((2, 8, 8), jnp.bfloat16)
+        i8 = jnp.zeros((2, 8, 8), jnp.int8)
+        old = _os.environ.pop("PLMC_KR_STREAM", None)
+        try:
+            assert not fm._use_kr_stream(bf)
+            assert not fm._use_kr_stream(i8)
+            _os.environ["PLMC_KR_STREAM"] = "1"
+            assert fm._use_kr_stream(bf)
+            assert not fm._use_kr_stream(i8)
+            _os.environ["PLMC_KR_STREAM"] = "0"
+            assert not fm._use_kr_stream(bf)
+        finally:
+            if old is None:
+                _os.environ.pop("PLMC_KR_STREAM", None)
+            else:
+                _os.environ["PLMC_KR_STREAM"] = old
+
     def test_lowrank_reduce(self):
         rng = np.random.default_rng(1)
         n, d, B, r = 90, 2, 3, 5
