@@ -24,7 +24,20 @@ def inv_softplus(y):
     return y + jnp.log(-jnp.expm1(-y))
 
 
-class Positive:
+class _ValueEq:
+    """Value equality/hash by __dict__: constraints live in Module pytrees'
+    STATIC aux data, where identity-based equality makes two semantically
+    identical models compare as different treedefs — causing spurious jit
+    retraces and breaking same-config batching (training.fit_ensemble)."""
+
+    def __eq__(self, other):
+        return type(self) is type(other) and self.__dict__ == other.__dict__
+
+    def __hash__(self):
+        return hash((type(self).__name__, tuple(sorted(self.__dict__.items()))))
+
+
+class Positive(_ValueEq):
     """y = softplus(x); matches gpytorch's default Positive constraint."""
 
     def forward(self, x):
@@ -34,7 +47,7 @@ class Positive:
         return inv_softplus(y)
 
 
-class GreaterThan:
+class GreaterThan(_ValueEq):
     """y = softplus(x) + lower_bound (gpytorch GreaterThan)."""
 
     def __init__(self, lower_bound: float):
@@ -47,7 +60,7 @@ class GreaterThan:
         return inv_softplus(jnp.maximum(y - self.lower_bound, 1e-20))
 
 
-class Interval:
+class Interval(_ValueEq):
     """y = lower + (upper-lower)*sigmoid(x) (gpytorch Interval)."""
 
     def __init__(self, lower: float, upper: float):

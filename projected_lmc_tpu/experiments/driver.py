@@ -134,10 +134,14 @@ def train_and_eval(models, X_test, Y_test, n_iter=100000, lr=1e-2, lr_min=1e-3,
     results = {}
     trained = {}
     for name, model in models.items():
-        if (var_fit == "warm_start" and name == "var"
+        if (var_fit in ("warm_start", "em") and name == "var"
                 and hasattr(model, "sgpr_warm_start")):
+            # "warm_start" = full closed-form coordinate ascent (E-steps on
+            # q(u) + exact noise M-steps, VariationalMultitaskGPModel.sgpr_em)
+            # — the E-step-only variant shipped σ at the init's noise guess
+            # (round-3 tidal row: mean_sigma 1.20 vs RMSE 0.35, PVA −2.61)
             start = time.time()
-            model_t = model.sgpr_warm_start()
+            model_t = model.sgpr_em()
             info = dict(n_iter=0, train_time=time.time() - start,
                         losses=[], loss=float(-model_t.elbo()))
         else:
@@ -149,33 +153,42 @@ def train_and_eval(models, X_test, Y_test, n_iter=100000, lr=1e-2, lr_min=1e-3,
                                 print_loss=print_loss, block_every=block_every,
                                 scan_steps=scan_steps)
         trained[name] = model_t
-
-        start = time.time()
-        if hasattr(model_t, "full_likelihood"):           # projected models
-            mean, var = model_t.predict(X_test, observed=True)
-            fl = model_t.full_likelihood()
-            H_guess_hid = np.asarray(fl.task_noise_covar_factor)
-        elif name == "ICM":
-            cache = model_t.precompute_posterior()
-            pred = model_t.posterior(X_test, cache=cache, observed=True)
-            mean = pred.mean
-            var = model_t.compute_var(X_test)             # reference uses compute_var
-            lik = model_t.likelihood
-            H_guess_hid = _noise_matrix(lik)
-        else:
-            pred = model_t(X_test, observed=True) if callable(model_t) else None
-            mean, var = pred.mean, pred.variance
-            H_guess_hid = _noise_matrix(model_t.likelihood)
-        sigma = np.sqrt(np.asarray(var))
-        pred_time = time.time() - start
-
-        metrics = compute_metrics(Y_test, np.asarray(mean), sigma, info["loss"],
-                                  H_guess_hid, info["n_iter"], info["train_time"],
-                                  pred_time, print_metrics=print_metrics,
-                                  test_mask=test_mask)
-        metrics["model"] = name
-        results[name] = metrics
+        results[name] = predict_and_metrics(
+            name, model_t, info, X_test, Y_test,
+            print_metrics=print_metrics, test_mask=test_mask)
     return results, trained
+
+
+def predict_and_metrics(name, model_t, info, X_test, Y_test,
+                        print_metrics=True, test_mask=None):
+    """Prediction + the 15-metric block for one trained model
+    (experiments.py:286-347) — the eval half of :func:`train_and_eval`,
+    callable per-seed by the ensemble study runner."""
+    start = time.time()
+    if hasattr(model_t, "full_likelihood"):           # projected models
+        mean, var = model_t.predict(X_test, observed=True)
+        fl = model_t.full_likelihood()
+        H_guess_hid = np.asarray(fl.task_noise_covar_factor)
+    elif name == "ICM":
+        cache = model_t.precompute_posterior()
+        pred = model_t.posterior(X_test, cache=cache, observed=True)
+        mean = pred.mean
+        var = model_t.compute_var(X_test)             # reference uses compute_var
+        lik = model_t.likelihood
+        H_guess_hid = _noise_matrix(lik)
+    else:
+        pred = model_t(X_test, observed=True) if callable(model_t) else None
+        mean, var = pred.mean, pred.variance
+        H_guess_hid = _noise_matrix(model_t.likelihood)
+    sigma = np.sqrt(np.asarray(var))
+    pred_time = time.time() - start
+
+    metrics = compute_metrics(Y_test, np.asarray(mean), sigma, info["loss"],
+                              H_guess_hid, info["n_iter"], info["train_time"],
+                              pred_time, print_metrics=print_metrics,
+                              test_mask=test_mask)
+    metrics["model"] = name
+    return metrics
 
 
 def _noise_matrix(lik):

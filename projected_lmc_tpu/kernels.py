@@ -199,10 +199,26 @@ stationary_kernel_matrix.defvjp(_skm_fwd, _skm_bwd)
 
 class Prior:
     """Lengthscale priors (handle_covar_ registers Normal/MVN priors,
-    projected_lmc.py:143-149). Adds log_prob terms to the MLL."""
+    projected_lmc.py:143-149). Adds log_prob terms to the MLL.
+
+    Priors live in kernel pytrees' STATIC aux data; value-based
+    equality/hash (array-aware) keeps two models built with equal priors
+    treedef-equal — no spurious jit retraces, and same-config batching
+    (training.fit_ensemble) works."""
 
     def log_prob(self, value):
         raise NotImplementedError
+
+    def __eq__(self, other):
+        return type(self) is type(other) and \
+            self.__dict__.keys() == other.__dict__.keys() and \
+            all(np.array_equal(v, other.__dict__[k])
+                for k, v in self.__dict__.items())
+
+    def __hash__(self):
+        return hash((type(self).__name__,
+                     tuple((k, np.asarray(v).tobytes())
+                           for k, v in sorted(self.__dict__.items()))))
 
 
 class NormalPrior(Prior):

@@ -182,6 +182,34 @@ def combine(a, b):
                                   is_leaf=lambda x: isinstance(x, _Removed))
 
 
+def map_static_attr(tree, name: str, value):
+    """Return a copy of ``tree`` with every Module's STATIC attribute ``name``
+    (where present) replaced by ``value``.
+
+    Static attributes live in the pytree's aux data, so ``tree_map`` cannot
+    touch them; this walks Module/list/dict containers and rebuilds. Used by
+    e.g. :func:`training.fit_ensemble` to force ``use_pallas=False`` on every
+    kernel before a vmapped train (Pallas grids are not vmap-batchable; at
+    ensemble problem sizes the XLA build is the right choice anyway)."""
+    def rec(node):
+        if isinstance(node, Module):
+            obj = object.__new__(type(node))
+            obj.__dict__.update(node.__dict__)
+            if name in obj.__dict__ and not _is_dynamic(obj.__dict__[name]):
+                obj.__dict__[name] = value
+            for k, v in list(obj.__dict__.items()):
+                if isinstance(v, (Module, list, dict)):
+                    obj.__dict__[k] = rec(v)
+            return obj
+        if isinstance(node, list):
+            return [rec(v) for v in node]
+        if isinstance(node, dict):
+            return {k: rec(v) for k, v in node.items()}
+        return node
+
+    return rec(tree)
+
+
 @jax.tree_util.register_static
 class CacheTag(str):
     """Static string tag inside posterior-cache pytrees.

@@ -71,7 +71,8 @@ def fit(model, loss_fn: Callable = None, n_iter: int = 10000, lr: float = 1e-2,
         criterion: str = "max", weight_decay: float = 1e-2,
         print_loss: bool = False, freq_print: int = 1000,
         block_every: int = 1, scan_steps: int = None, seed: int = 0,
-        checkpoint_every: int = 0, checkpoint_path: str = None):
+        checkpoint_every: int = 0, checkpoint_path: str = None,
+        eval_every: int = 0, eval_fn: Callable = None):
     """Train ``model`` by maximizing ``loss_fn(model)`` (an MLL; the loop
     minimizes −MLL like the reference).
 
@@ -99,6 +100,11 @@ def fit(model, loss_fn: Callable = None, n_iter: int = 10000, lr: float = 1e-2,
     < scan_steps iterations).
 
     ``block_every``: per-iteration-mode host-sync cadence (scan_steps == 1).
+
+    ``eval_every`` > 0 with an ``eval_fn(model, i)`` records
+    ``(i, eval_fn(...))`` pairs in ``info['evals']`` at (chunk-aligned)
+    checkpoints — in-training trajectory capture (test metrics vs iteration)
+    without restarting the optimizer.
     """
     if loss_fn is None:
         loss_fn = lambda m: m.mll()
@@ -163,7 +169,18 @@ def fit(model, loss_fn: Callable = None, n_iter: int = 10000, lr: float = 1e-2,
     effective_n_iter = n_iter
     start = time.time()
 
+    evals = []
+    next_eval = eval_every if eval_every > 0 and eval_fn is not None else None
+
     def maybe_checkpoint(i, final=False):
+        nonlocal next_eval
+        if next_eval is not None and (i >= next_eval or final) \
+                and not (evals and evals[-1][0] == i):
+            m = combine(jax.tree_util.tree_unflatten(ptreedef, params),
+                        static)
+            evals.append((i, eval_fn(m, i)))
+            while next_eval <= i:
+                next_eval += eval_every
         if not checkpoint_path or not (final or (
                 checkpoint_every > 0 and i > 0 and i % checkpoint_every == 0)):
             return
@@ -228,6 +245,167 @@ def fit(model, loss_fn: Callable = None, n_iter: int = 10000, lr: float = 1e-2,
     trained = combine(jax.tree_util.tree_unflatten(ptreedef, params), static)
     info = dict(n_iter=effective_n_iter, train_time=train_time,
                 losses=np.asarray(losses), loss=last_loss)
+    if evals:
+        info["evals"] = evals
+    return trained, info
+
+
+def fit_ensemble(models, loss_fn: Callable = None, n_iter: int = 10000,
+                 lr: float = 1e-2, schedule=None, loss_thresh: float = 2.5e-6,
+                 patience: int = 500, criterion: str = "max",
+                 weight_decay: float = 1e-2, scan_steps: int = None,
+                 seed: int = 0, print_loss: bool = False,
+                 freq_print: int = 1000, force_xla_kernels: bool = True):
+    """Seed-parallel training: B same-config models as ONE vmapped jit program.
+
+    The reference's seeded-study protocol (experiments.py:125-127 — 30–50
+    independent runs per configuration) trains each seed sequentially; on a
+    GPU that is the only option torch offers. On TPU the study models are
+    tiny (n=500 kernels barely occupy one MXU pass), so the whole seed batch
+    vectorizes: stack the B models' leaves, ``vmap`` the optimizer step, and
+    train every seed in a single XLA program — per-iteration cost grows far
+    slower than B, and the host↔device dispatch cost is paid once per chunk
+    for the whole batch instead of per seed.
+
+    ``models``: list of B Module instances with identical architecture
+    (same treedef, same static config, same array shapes) but arbitrary
+    per-seed data/initializations — exactly what
+    ``experiments.driver.build_models`` with different seeds produces.
+
+    Plateau semantics: each seed's plateau iteration (same |1−l/l'| rule as
+    :func:`fit`) is recorded in ``info['n_iter']`` (shape (B,)); the batch
+    stops only when EVERY seed has plateaued or at ``n_iter``. A plateaued
+    seed keeps taking (by definition ~stationary) steps until the batch
+    stops — its recorded n_iter is its own plateau point, matching what a
+    sequential run would report.
+
+    ``force_xla_kernels``: rewrite ``use_pallas=False`` on every kernel
+    module first — Pallas grids don't batch under vmap, and at ensemble
+    problem sizes the XLA kernel build is preferable regardless.
+
+    Returns ``(trained_models, info)``: a length-B list, and info with
+    ``losses`` of shape (iters, B), per-seed ``n_iter``, shared
+    ``train_time``, and per-seed final ``loss``.
+    """
+    if loss_fn is None:
+        loss_fn = lambda m: m.mll()
+    if schedule is None:
+        schedule = lambda_lr_schedule(lr_max=lr, lr_min=lr / 10.0)
+    if scan_steps is None:
+        scan_steps = default_scan_steps()
+    takes_key = _loss_fn_takes_key(loss_fn)
+    B = len(models)
+    if B == 0:
+        raise ValueError("fit_ensemble needs at least one model")
+    if force_xla_kernels:
+        from .module import map_static_attr
+        models = [map_static_attr(m, "use_pallas", False) for m in models]
+
+    treedef_full = jax.tree_util.tree_structure(models[0])
+    for i, m in enumerate(models[1:], 1):
+        if jax.tree_util.tree_structure(m) != treedef_full:
+            raise ValueError(
+                f"model {i} has a different architecture (treedef/static "
+                "config mismatch) — fit_ensemble batches same-config models")
+    mask = trainable_mask(models[0])
+    parts = [partition(m, mask) for m in models]
+    params0 = parts[0][0]
+    flat_with_paths, ptreedef = jax.tree_util.tree_flatten_with_path(params0)
+    decay_flags = [
+        not any(str(getattr(k, "name", "")).startswith("raw_mixture")
+                for k in kp)
+        for kp, _ in flat_with_paths]
+
+    leaves_per = [jax.tree_util.tree_leaves(p) for p, _ in parts]
+    stacked = [jnp.stack([leaves_per[i][j] for i in range(B)])
+               for j in range(len(leaves_per[0]))]
+    static_list = [s for _, s in parts]
+    static_b = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *static_list)
+
+    tx = optax.adamw(learning_rate=schedule, weight_decay=weight_decay,
+                     mask=decay_flags)
+    opt_state = jax.vmap(tx.init)(stacked)
+    keys = jax.random.split(jax.random.PRNGKey(seed), B)
+
+    def one_step(leaves, opt_state, key, static):
+        key, sub = jax.random.split(key)
+        def neg_loss(lvs):
+            p = jax.tree_util.tree_unflatten(ptreedef, lvs)
+            m = combine(p, static)
+            return -(loss_fn(m, sub) if takes_key else loss_fn(m))
+        loss, grads = jax.value_and_grad(neg_loss)(leaves)
+        updates, opt_state = tx.update(grads, opt_state, leaves)
+        leaves = optax.apply_updates(leaves, updates)
+        return leaves, opt_state, key, loss
+
+    vstep = jax.vmap(one_step)
+
+    @jax.jit
+    def multi_step(leaves, opt_state, keys, static):
+        def body(carry, _):
+            p, o, k = carry
+            p, o, k, loss = vstep(p, o, k, static)
+            return (p, o, k), loss
+        (leaves, opt_state, keys), losses = jax.lax.scan(
+            body, (leaves, opt_state, keys), None,
+            length=max(scan_steps, 1))
+        return leaves, opt_state, keys, losses          # losses (S, B)
+
+    losses = []
+    plateau_id = np.zeros(B, dtype=int)
+    last_loss = np.full(B, 1e-9)
+    deltas = np.zeros((patience, B))
+    eff_n_iter = np.full(B, n_iter, dtype=int)
+    plateaued = np.zeros(B, dtype=bool)
+    start = time.time()
+
+    def check_plateau(i, new_loss):
+        """Vectorized per-seed plateau test; returns True when ALL seeds
+        have plateaued (the batch stop condition)."""
+        nonlocal plateau_id, last_loss, plateaued
+        if criterion == "max":
+            flat = (i > 0) & (np.abs(1 - new_loss / last_loss) < loss_thresh)
+            plateau_id = np.where(flat, plateau_id + 1, 0)
+            newly = (~plateaued) & (plateau_id > patience)
+        elif criterion == "mean":
+            deltas[1:] = deltas[:-1]
+            deltas[0] = np.abs(1 - new_loss / last_loss)
+            newly = (~plateaued) & (i >= patience) \
+                & (deltas.mean(axis=0) < loss_thresh)
+        else:
+            raise ValueError("Criterion not recognized")
+        eff_n_iter[newly] = i
+        plateaued |= newly
+        last_loss = new_loss
+        return bool(plateaued.all())
+
+    i = 0
+    while i < n_iter:
+        stacked, opt_state, keys, chunk_losses = multi_step(
+            stacked, opt_state, keys, static_b)
+        stop = False
+        for j, lv in enumerate(np.asarray(chunk_losses)):
+            losses.append(lv)
+            if print_loss and (i + j) % freq_print == 0:
+                print(f"iter {i + j}: loss {np.array2string(lv, precision=4)}")
+            if check_plateau(i + j, lv):
+                stop = True
+                break
+        i += max(scan_steps, 1)
+        if stop:
+            break
+
+    train_time = time.time() - start
+    losses = np.asarray(losses)                          # (iters, B)
+    trained = []
+    for b in range(B):
+        leaves_b = [jax.device_get(s[b]) for s in stacked]
+        p = jax.tree_util.tree_unflatten(
+            ptreedef, [jnp.asarray(x) for x in leaves_b])
+        trained.append(combine(p, static_list[b]))
+    info = dict(n_iter=eff_n_iter, train_time=train_time, losses=losses,
+                loss=last_loss.copy())
     return trained, info
 
 

@@ -62,12 +62,28 @@ def run(args):
         print(f"[resume] {len(done)} rows already in {args.out}",
               file=sys.stderr, flush=True)
 
+    def finish_row(name, seed, value, n_iter, metrics, t0):
+        row = {k: (float(val) if hasattr(val, "item") or
+                   isinstance(val, (int, float)) else val)
+               for k, val in metrics.items()}
+        row.update(model=name, seed=seed, v_test=args.v_test,
+                   value="" if value is None else value,
+                   n_iter_budget=n_iter)
+        append_row(args.out, row)
+        print(f"[seeded] {name} seed={seed} "
+              + (f"{args.v_test}={value} " if value is not None else "")
+              + f"R2={row['R2']:.4f} noise={row['noise']:.3f} "
+              f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
+
     v = dict(DEFAULT_PARAMS)
     if args.mu_str is not None:
         v["mu_str"] = args.mu_str
     for value in values:
         if value is not None:
             v[args.v_test] = value
+        if args.ensemble:
+            _run_ensemble(args, v, value, done, n_iter_map, finish_row)
+            continue
         for seed in args.seeds:
             data = generate_synthetic(
                 n=v["n"], p=v["p"], q=v["q"], q_noise=v["q_noise"],
@@ -86,19 +102,51 @@ def run(args):
                     lr=args.lr, lr_min=args.lr_min,
                     loss_thresh=args.loss_thresh, patience=args.patience,
                     print_metrics=False, scan_steps=args.scan_steps)
-                row = {k: (float(val) if hasattr(val, "item") or
-                           isinstance(val, (int, float)) else val)
-                       for k, val in results[name].items()}
-                row.update(model=name, seed=seed, v_test=args.v_test,
-                           value="" if value is None else value,
-                           n_iter_budget=n_iter)
-                append_row(args.out, row)
-                print(f"[seeded] {name} seed={seed} "
-                      + (f"{args.v_test}={value} " if value is not None
-                         else "")
-                      + f"R2={row['R2']:.4f} noise={row['noise']:.3f} "
-                      f"({time.time() - t0:.0f}s)", file=sys.stderr,
-                      flush=True)
+                finish_row(name, seed, value, n_iter, results[name], t0)
+
+
+def _run_ensemble(args, v, value, done, n_iter_map, finish_row):
+    """Seed-PARALLEL branch: all pending seeds of one (model, value) train as
+    a single vmapped jit program (training.fit_ensemble) — the TPU-native
+    answer to the reference's 30–50-run sequential protocol. train_time is
+    reported as the batch wall time divided by the number of seeds (the
+    amortized per-run cost; the whole point of the batching)."""
+    from projected_lmc_tpu.experiments.driver import (_loss_fn_for,
+                                                      build_models,
+                                                      predict_and_metrics)
+    from projected_lmc_tpu.experiments.synthetic import generate_synthetic
+    from projected_lmc_tpu.training import fit_ensemble, lambda_lr_schedule
+
+    datas = {seed: generate_synthetic(
+        n=v["n"], p=v["p"], q=v["q"], q_noise=v["q_noise"],
+        mu_noise=v["mu_noise"], mu_str=v["mu_str"],
+        max_scale=v["max_scale"], n_test=args.n_test, seed=seed)
+        for seed in args.seeds}
+    for name in args.models:
+        vkey = "" if value is None else repr(value)
+        seeds = [s for s in args.seeds
+                 if (name, s, str(vkey)) not in done]
+        if not seeds:
+            continue
+        n_iter = int(n_iter_map.get(name, args.n_iter))
+        t0 = time.time()
+        models = [build_models(datas[s]["X"], datas[s]["Y"], v["q"], v["p"],
+                               [name], seed=s)[name] for s in seeds]
+        loss_fn = _loss_fn_for(name, models[0])
+        trained, info = fit_ensemble(
+            models, loss_fn, n_iter=n_iter, lr=args.lr,
+            schedule=lambda_lr_schedule(lr_max=args.lr, lr_min=args.lr_min),
+            loss_thresh=args.loss_thresh, patience=args.patience,
+            scan_steps=args.scan_steps)
+        per_seed_time = info["train_time"] / len(seeds)
+        for b, seed in enumerate(seeds):
+            info_b = dict(loss=float(info["loss"][b]),
+                          n_iter=int(info["n_iter"][b]),
+                          train_time=per_seed_time)
+            metrics = predict_and_metrics(
+                name, trained[b], info_b, datas[seed]["X_test"],
+                datas[seed]["Y_test"], print_metrics=False)
+            finish_row(name, seed, value, n_iter, metrics, t0)
 
 
 def aggregate(args):
@@ -162,6 +210,9 @@ def main(argv=None):
     p.add_argument("--scan-steps", type=int, default=None,
                    help="fit() fusion chunk (None = backend default)")
     p.add_argument("--mu-str", type=float, default=None)
+    p.add_argument("--ensemble", action="store_true",
+                   help="train all seeds of one (model, value) as a single "
+                        "vmapped jit program (training.fit_ensemble)")
     p.add_argument("--out", required=True, help="long-format per-run CSV")
     p.add_argument("--resume", action="store_true",
                    help="skip (model,seed,value) rows already in --out")

@@ -92,3 +92,53 @@ class TestSgprWarmStart:
                                            mean_type="zero")
         with pytest.raises(ValueError):
             m.sgpr_warm_start()
+
+
+class TestNoiseMstep:
+    """Exact ELBO coordinate maximization over Σt (noise_mstep) and the
+    E/M alternation (sgpr_em) — the round-4 calibration fix for the shipped
+    warm-start-only σ (realdata_study_tidal_var.csv PVA −2.61)."""
+
+    def test_mstep_improves_elbo(self):
+        X, Y, _ = make_data()
+        m = build(X, Y).sgpr_warm_start()
+        e0 = float(m.elbo())
+        m2 = m.noise_mstep()
+        e1 = float(m2.elbo())
+        assert e1 > e0 - 1e-6, (e0, e1)
+
+    def test_mstep_is_elbo_stationary_point(self):
+        """After the M-step, scaling Σt by (1±ε) must DECREASE the ELBO —
+        Σt* is the coordinate maximizer."""
+        X, Y, _ = make_data()
+        m = build(X, Y).sgpr_warm_start().noise_mstep()
+        e_star = float(m.elbo())
+        lik = m.likelihood
+        for s in (0.8, 1.25):
+            lik_s = lik.set_noise(float(np.asarray(lik.noise)[0]) * s)
+            if lik.rank > 0:
+                lik_s = lik_s.replace(
+                    task_noise_covar_factor=lik.task_noise_covar_factor
+                    * np.sqrt(s))
+            e_s = float(m.replace(likelihood=lik_s).elbo())
+            assert e_s <= e_star + 1e-6, (s, e_s, e_star)
+
+    def test_em_calibrates_sigma(self):
+        """After sgpr_em, predictive σ should match the residual scale
+        (the PVA ≈ 0 property the shipped default was missing)."""
+        X, Y, F = make_data(noise=0.1)
+        m = build(X, Y).sgpr_em()
+        pred = m(X, observed=True)
+        resid2 = np.mean((np.asarray(pred.mean) - np.asarray(Y)) ** 2)
+        mean_var = float(np.mean(np.asarray(pred.variance)))
+        pva = float(np.log(mean_var / resid2))
+        assert abs(pva) < 0.7, pva
+        e_init = float(build(X, Y).elbo())
+        assert float(m.elbo()) > e_init
+
+    def test_rank0_diag_likelihood(self):
+        X, Y, _ = make_data()
+        lik = pl.MultitaskGaussianLikelihood(num_tasks=4, rank=0)
+        m = build(X, Y, likelihood=lik).sgpr_em(n_steps=1)
+        assert np.all(np.isfinite(np.asarray(m.likelihood.task_noises)))
+        assert np.isfinite(float(m.elbo()))
