@@ -122,8 +122,17 @@ class LMCMixingMatrix(Module):
         """Returns (Q, R, Q_orth) — projected_lmc.py:864-875."""
         q = self.n_latents
         if self.bulk:
-            Q_plus, R_padded = jnp.linalg.qr(self.H, mode="complete" if
-                                             self.mode == "Q_plus" else "reduced")
+            # fp32-accurate QR: on TPU the default matmul precision is
+            # bf16-grade passes, and this QR runs EVERY training step — the
+            # bf16-grade orthogonality error (~1e-3) feeds Q⊥ straight into
+            # the B̃ noise terms and was measured to cost the full-B̃ PLMC
+            # its test R² over long horizons (0.938 vs 0.978 at 40k on the
+            # default synthetic config; torch-fp64 oracle holds 0.980 —
+            # results/plmc_trajectory_jax*.json, VERDICT r3 item 1).
+            with jax.default_matmul_precision("highest"):
+                Q_plus, R_padded = jnp.linalg.qr(self.H, mode="complete" if
+                                                 self.mode == "Q_plus"
+                                                 else "reduced")
             if self.mode == "Q_plus":
                 Q, Q_orth = Q_plus[:, :q], Q_plus[:, q:]
                 R = R_padded[:q, :q]

@@ -28,11 +28,36 @@ def main(argv=None):
     ap.add_argument("--r2-every", type=int, default=500)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--scan-steps", type=int, default=None)
+    ap.add_argument("--matmul-precision", default=None,
+                    choices=["default", "high", "highest"],
+                    help="jax_default_matmul_precision override — on TPU the "
+                         "default is bf16-grade passes; 'highest' isolates "
+                         "whether the R2 decline is matmul-precision noise "
+                         "(QR of H runs every step inside jit)")
+    ap.add_argument("--x64", action="store_true",
+                    help="fp64 (CPU) — the precision-ladder top rung, "
+                         "comparable to the torch-fp64 oracle")
     ap.add_argument("--out", default="results/plmc_trajectory_jax.json")
     args = ap.parse_args(argv)
 
-    from projected_lmc_tpu.utils.tpu import ensure_tpu
-    ensure_tpu()
+    import jax
+    if args.matmul_precision:
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
+    if args.x64:
+        # fp64 needs the CPU backend; the sitecustomize eagerly registers the
+        # tunneled TPU, so JAX_PLATFORMS is too late — force + reset caches
+        # (same trick as tests/conftest.py)
+        jax.config.update("jax_enable_x64", True)
+        jax.config.update("jax_platforms", "cpu")
+        if jax.default_backend() != "cpu":
+            from jax._src import xla_bridge as _xb
+            _xb._clear_backends()
+            _xb.get_backend.cache_clear()
+        assert jax.default_backend() == "cpu", jax.default_backend()
+    else:
+        from projected_lmc_tpu.utils.tpu import ensure_tpu
+        ensure_tpu()
     from projected_lmc_tpu.experiments.driver import (DEFAULT_PARAMS,
                                                       build_models)
     from projected_lmc_tpu.experiments.synthetic import generate_synthetic
@@ -51,7 +76,11 @@ def main(argv=None):
 
     state = dict(config=dict(n=v["n"], p=v["p"], q=v["q"],
                              n_iter=args.n_iter, seed=args.seed,
-                             model="PLMC full-B_tilde (JAX)"),
+                             model="PLMC full-B_tilde (JAX)",
+                             matmul_precision=args.matmul_precision
+                             or "default",
+                             x64=bool(args.x64),
+                             backend=jax.default_backend()),
                  r2_trajectory=[], loss_checkpoints=[])
     t0 = time.time()
 
@@ -60,6 +89,29 @@ def main(argv=None):
         err2 = (Yt - np.asarray(mean, np.float64)) ** 2
         r2 = float((1.0 - err2.mean(0) / var_t).mean())
         state["r2_trajectory"].append([int(i), round(r2, 6)])
+        # parameter anatomy at each checkpoint — the R² transition is a
+        # discrete event (results/plmc_trajectory_jax_highest.json: stable
+        # 0.978 through 14.5k, then a drop to 0.916 in <2k iters); these
+        # localize WHICH parameter moves when it happens
+        Q, R, Qo = m.lmc_coefficients.QR()
+        Q = np.asarray(Q, np.float64)
+        sig = np.asarray(m.projected_noise(), np.float64)
+        diag = dict(
+            loss=round(float(projected_lmc_mll(m)), 6),
+            sigma_p_min=float(sig.min()), sigma_p_max=float(sig.max()),
+            H_fro=round(float(np.linalg.norm(
+                np.asarray(m.lmc_coefficients.H, np.float64))), 4),
+            R_diag_min=float(np.abs(np.diagonal(
+                np.asarray(R, np.float64))).min()),
+            ortho_err=float(np.abs(Q.T @ Q - np.eye(Q.shape[1])).max()))
+        if m.B_mode == "full":
+            Bd = np.diagonal(np.asarray(m.B_tilde_inv_chol_raw, np.float64))
+            diag.update(Braw_diag_min=float(Bd.min()),
+                        Braw_diag_max=float(Bd.max()))
+        if not m.BDN:
+            diag["M_fro"] = round(float(np.linalg.norm(
+                np.asarray(m.M, np.float64))), 4)
+        state.setdefault("param_diag", []).append([int(i), diag])
         with open(args.out + ".tmp", "w") as f:
             json.dump(state, f, indent=1)
         os.replace(args.out + ".tmp", args.out)
