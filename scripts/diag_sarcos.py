@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""SARCOS calibration diagnosis (VERDICT r3/r4 item 8): why do ALL four
+models of results/realdata_study_sarcos.csv sit at alpha_CI 0.77-0.80 /
+PVA ~1.0 (tidal: 0.89-0.92) — uniformly, across model classes?
+
+Prime suspect: the data split. The reference trains on sarcos_inv.mat
+(44.5k-row train file, realdata_experiments.py:510) and tests on
+sarcos_inv_test.mat; the reference REPO ships only the test file, so
+load_sarcos falls back to a TEMPORAL 80/20 split of the test file — a
+sequential robot-arm trajectory. Train and test then cover different
+regions of the 21-d state space (covariate shift), which no
+stationary-GP model class can be calibrated against.
+
+Four numbered experiments (PLMC = exact-path representative; the
+ICM/Nystrom variance class was already validated in diag_ship_icm.py):
+
+  1. PATH CORRECTNESS — shipped PLMC posterior (predict(observed=True))
+     vs the dense np x np fp64 joint posterior of the SAME model
+     (Sigma_b K_b (x) h_b h_b^T + I (x) Sigma, the projection-algebra
+     exactness the paper claims) on an n=400 subsample.
+  2. SPLIT ATTRIBUTION — PLMC + oilmm trained identically on (a) the
+     shipped temporal fallback split and (b) a random shuffle of the
+     same pool with the same sizes/z-scoring protocol. If calibration
+     recovers under (b), the miss is the split, not the models.
+  3. SCALE vs SHAPE — per-task sigma rescale to PVA=0 on the temporal
+     predictions: if alpha_CI then recovers to ~0.95 the residuals are
+     Gaussian-shaped and sigma is merely underestimated (the covariate-
+     shift signature); if not, the residuals are heavy-tailed.
+  4. UNDERTRAINING — calibration trajectory at 1k/3k/10k iters via the
+     fit() eval hook: does more training move PVA toward 0 or away?
+
+Writes results/diag_sarcos.json. Chip for training, numpy fp64 for the
+dense check; ~10-20 min.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def calib(Yt, mean, var):
+    err = np.abs(np.asarray(Yt, np.float64) - np.asarray(mean, np.float64))
+    sig = np.sqrt(np.clip(np.asarray(var, np.float64), 1e-12, None))
+    return dict(
+        R2=float(np.mean(1 - np.mean(err ** 2, 0) / np.var(Yt, 0))),
+        RMSE=float(np.sqrt(np.mean(err ** 2))),
+        PVA=float(np.mean(np.log(np.mean(err ** 2 / sig ** 2, 0)))),
+        alpha_CI=float(np.mean(err < 2 * sig)),
+        mean_sigma=float(sig.mean()))
+
+
+def zscore_split(pool, k_train, ndiv_eff, rng=None):
+    """The load_sarcos fallback protocol on an arbitrary row order: first
+    k_train rows (subsampled ::ndiv_eff) train, rest test, Y z-scored by
+    TRAIN stats (realdata.py:106-115)."""
+    rows = pool if rng is None else pool[rng.permutation(len(pool))]
+    train, test = rows[:k_train][::ndiv_eff], rows[k_train:]
+    X, Y = train[:, :21], train[:, 21:]
+    Xt, Yt = test[:, :21], test[:, 21:]
+    mean, std = Y.mean(axis=0), Y.std(axis=0)
+    return X, (Y - mean) / std, Xt, (Yt - mean) / std
+
+
+def fit_predict(name, X, Y, Xt, n_iter, eval_fn=None, eval_every=None):
+    from projected_lmc_tpu.experiments.driver import _loss_fn_for, build_models
+    from projected_lmc_tpu.training import fit, lambda_lr_schedule
+    model = build_models(X, Y, q_model=Y.shape[1], q_noise_guess=0,
+                         models_to_run=[name], kernel_type="matern",
+                         mean_type="zero", n_ind_points=500,
+                         oilmm_bulk=False)[name]
+    t0 = time.time()
+    model, info = fit(model, _loss_fn_for(name, model), n_iter=n_iter,
+                      lr=1e-2, schedule=lambda_lr_schedule(1e-2, 1e-3),
+                      loss_thresh=1e-7, patience=500,
+                      eval_fn=eval_fn, eval_every=eval_every)
+    mean, var = model.predict(Xt, observed=True)
+    return model, np.asarray(mean), np.asarray(var), dict(
+        n_iter=int(info["n_iter"]), loss=float(info["loss"]),
+        train_s=round(time.time() - t0, 1))
+
+
+def dense_joint_posterior(model, X, Y, Xt):
+    """fp64 ground truth: joint GP with cov Sigma_b K_b (x) h_b h_b^T
+    + I_n (x) Sigma, Sigma reconstructed by full_likelihood's algebra
+    (projected_lmc.py:1023-1074); observed predictive variance."""
+    import jax.numpy as jnp
+    Ks = np.asarray(model.covar_module(jnp.asarray(X)), np.float64)
+    Kxs = np.asarray(model.covar_module(jnp.asarray(Xt), jnp.asarray(X)),
+                     np.float64)
+    kss = np.asarray(model.covar_module(jnp.asarray(Xt), diag=True),
+                     np.float64)
+    H = np.asarray(model.lmc_coefficients(), np.float64)          # (q, p)
+    Sigma = np.asarray(model.full_likelihood().task_covariance(), np.float64)
+    n, p = Y.shape
+    nst = Xt.shape[0]
+    cov = np.kron(np.eye(n), Sigma)
+    cross = np.zeros((nst * p, n * p))
+    prior_diag = np.tile(np.diag(Sigma), nst).reshape(nst, p)
+    for b in range(Ks.shape[0]):
+        hh = np.outer(H[b], H[b])
+        cov += np.kron(Ks[b], hh)
+        cross += np.kron(Kxs[b], hh)
+        prior_diag += kss[b][:, None] * np.diag(hh)[None, :]
+    sol = np.linalg.solve(cov, np.asarray(Y, np.float64).reshape(-1))
+    mean = (cross @ sol).reshape(nst, p)
+    var = prior_diag - np.einsum(
+        "ij,ij->i", cross, np.linalg.solve(cov, cross.T).T).reshape(nst, p)
+    return mean, var
+
+
+def main(out="results/diag_sarcos.json"):
+    from projected_lmc_tpu.utils.tpu import ensure_tpu
+    ensure_tpu()
+    from scipy.io import loadmat
+    from projected_lmc_tpu.experiments.realdata import DEFAULT_DATA_ROOT
+
+    pool = loadmat(os.path.join(DEFAULT_DATA_ROOT, "SARCOS",
+                                "sarcos_inv_test.mat"))[
+        "sarcos_inv_test"].astype(np.float32)
+    k = int(0.8 * len(pool))
+    ndiv_eff = 2  # load_sarcos fallback: ndiv//5
+    out_d = dict(config=dict(
+        pool_rows=int(len(pool)), k_train=k, ndiv_eff=ndiv_eff,
+        note="reference repo ships only sarcos_inv_test.mat; the shipped "
+             "CSV therefore used load_sarcos's TEMPORAL 80/20 fallback "
+             "split of this sequential trajectory (realdata.py:104-109)"))
+
+    # -- experiment 2 + 4: temporal vs random split ------------------------
+    Xa, Ya, Xta, Yta = zscore_split(pool, k, ndiv_eff)
+    rng = np.random.default_rng(0)
+    Xb, Yb, Xtb, Ytb = zscore_split(pool, k, ndiv_eff, rng=rng)
+    out_d["config"]["n_train"] = int(Xa.shape[0])
+    out_d["config"]["n_test"] = int(Xta.shape[0])
+
+    traj = []
+    Yta64 = np.asarray(Yta, np.float64)
+
+    def eval_fn(m, i):
+        mean, var = m.predict(Xta, observed=True)
+        traj.append([int(i), calib(Yta64, mean, var)])
+        return 0.0
+
+    splits = {}
+    _, mean_a, var_a, info_a = fit_predict("PLMC", Xa, Ya, Xta, 10000,
+                                           eval_fn=eval_fn, eval_every=1000)
+    splits["temporal_PLMC"] = dict(calib(Yta, mean_a, var_a), **info_a)
+    for name, (X, Y, Xt, Yt) in [("oilmm", (Xa, Ya, Xta, Yta))]:
+        _, mean, var, info = fit_predict(name, X, Y, Xt, 3000)
+        splits[f"temporal_{name}"] = dict(calib(Yt, mean, var), **info)
+    for name in ["PLMC", "oilmm"]:
+        _, mean, var, info = fit_predict(name, Xb, Yb, Xtb, 3000)
+        splits[f"random_{name}"] = dict(calib(Ytb, mean, var), **info)
+    out_d["experiment_2_split_attribution"] = splits
+    out_d["experiment_4_undertraining_trajectory_temporal_PLMC"] = traj
+
+    # -- experiment 3: scale vs shape on the temporal predictions ----------
+    err2 = (Yta64 - np.asarray(mean_a, np.float64)) ** 2
+    scale2 = np.mean(err2 / np.asarray(var_a, np.float64), axis=0)  # per-task
+    out_d["experiment_3_scale_vs_shape"] = dict(
+        per_task_sigma_scale=np.sqrt(scale2).round(3).tolist(),
+        rescaled=calib(Yta, mean_a, var_a * scale2[None, :]),
+        verdict_hint="rescaled alpha_CI ~0.95 => Gaussian-shaped residuals, "
+                     "sigma merely underestimated (covariate-shift "
+                     "signature); much lower => heavy tails")
+
+    # -- experiment 1: path correctness on an n=400 subsample --------------
+    ns, nt = 400, 60
+    model_s, mean_s, var_s, info_s = fit_predict(
+        "PLMC", Xa[:ns], Ya[:ns], Xta[:nt], 500)
+    mean_d, var_d = dense_joint_posterior(model_s, Xa[:ns], Ya[:ns], Xta[:nt])
+    out_d["experiment_1_path_correctness"] = dict(
+        info_s,
+        mean_rel_err=float(np.abs(mean_s[:nt] - mean_d).max()
+                           / (np.abs(mean_d).max() + 1e-30)),
+        var_rel_err=float(np.abs(var_s[:nt] - var_d).max()
+                          / (np.abs(var_d).max() + 1e-30)))
+
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(out_d, f, indent=1)
+    print(json.dumps(out_d, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
