@@ -66,7 +66,7 @@ def zscore_split(pool, k_train, ndiv_eff, rng=None):
     return X, (Y - mean) / std, Xt, (Yt - mean) / std
 
 
-def fit_predict(name, X, Y, Xt, n_iter, eval_fn=None, eval_every=None):
+def fit_predict(name, X, Y, Xt, n_iter, eval_fn=None, eval_every=0):
     from projected_lmc_tpu.experiments.driver import _loss_fn_for, build_models
     from projected_lmc_tpu.training import fit, lambda_lr_schedule
     model = build_models(X, Y, q_model=Y.shape[1], q_noise_guess=0,

@@ -160,20 +160,33 @@ def aggregate(args):
         return "" if pd.isna(r) else r
 
     groups = df.groupby(["model", "value"], dropna=False)
-    # reference landmark format: run-averaged rows + _conv rejection rows
+    # reference landmark format: run-averaged rows + _conv rejection rows,
+    # carrying the config columns the reference's exports (and plots.setup's
+    # pivot) expect (experiments.py:100-115)
     ref_rows, summary = {}, []
     values = sorted(df["value"].dropna().unique().tolist()) or [None]
     v_test = df["v_test"].iloc[0]
+    from projected_lmc_tpu.experiments.driver import DEFAULT_PARAMS
     for (model, value), g in groups:
         i_v = values.index(value) if value in values else 0
         label = f"{model}_{v_test}_void_{i_v}_0"
-        ref_rows[label] = g[metric_cols].mean().to_dict()
+        cfg = dict(DEFAULT_PARAMS)
+        if v_test in cfg and value == value and value is not None:
+            cfg[v_test] = value
+        cfg_cols = dict(model=model, n=cfg["n"], p=cfg["p"], q=cfg["q"],
+                        q_guess=cfg["q"], q_noise=cfg["q_noise"],
+                        q_noise_guess=cfg["q_noise"],
+                        mu_noise=cfg["mu_noise"], mu_str=cfg["mu_str"],
+                        max_scale=cfg["max_scale"], void=0.0)
+        ref_rows[label] = dict(g[metric_cols].mean().to_dict(), **cfg_cols,
+                               n_sucess_runs=float(len(g)))
         mu_noise = value if v_test == "mu_noise" and value == value \
             else mu_noise_default
         thresh = max(0.2, 5.0 * float(mu_noise))
         conv = g[g["mean_err_abs"] < thresh]
         crow = conv[metric_cols].mean().to_dict() if len(conv) else \
             {c: 0.0 for c in metric_cols}
+        crow.update(cfg_cols)
         crow["n_sucess_runs"] = float(len(conv))
         ref_rows[label + "_conv"] = crow
         summary.append(dict(model=model, value=value, n_runs=len(g),
