@@ -87,7 +87,25 @@ def main():
                          "(VERDICT r3 item 6: same data, same recipe, "
                          "nearly-identical starts; trajectory spread = "
                          "optimization chaos, not implementation gap)")
+    ap.add_argument("--state", default=None,
+                    help="torch.save checkpoint path: written at every "
+                         "--checkpoint-every, loaded (params + Adam moments "
+                         "+ lr-sched step + trajectory) when it exists — so "
+                         "the single-core ~1 s/iter oracle can extend its "
+                         "horizon across sessions instead of re-running")
     args = ap.parse_args()
+
+    # The JAX part (init transfer) is seed-deterministic and tiny; force it
+    # onto CPU so the hours-long torch oracle never blocks on (or holds) the
+    # chip claim while chip studies run (CLAUDE.md: JAX_PLATFORMS env is
+    # ignored, sitecustomize registers the TPU eagerly).
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    if jax.default_backend() != "cpu":
+        from jax._src import xla_bridge as _xb
+        _xb._clear_backends()
+        _xb.get_backend.cache_clear()
+    assert jax.default_backend() == "cpu"
 
     from projected_lmc_tpu.experiments.synthetic import generate_synthetic
     from projected_lmc_tpu.experiments.driver import build_models
@@ -163,6 +181,19 @@ def main():
         opt, lambda i: (i / last_epoch * 0.1 + (last_epoch - i) / last_epoch)
         if i <= last_epoch else 0.1)
 
+    start_iter, prev_traj, prev_r2s, wall_offset = 0, [], {}, 0.0
+    if args.state and os.path.exists(args.state):
+        ck = torch.load(args.state, weights_only=False)
+        with torch.no_grad():
+            for prm, saved in zip(params, ck["params"]):
+                prm.copy_(saved)
+        opt.load_state_dict(ck["opt"])
+        sched.load_state_dict(ck["sched"])
+        start_iter = ck["iter"]
+        prev_traj, prev_r2s = ck["traj"], ck["r2s"]
+        wall_offset = ck.get("wall_s", 0.0)
+        print(f"[resume] {args.state} at iter {start_iter}", flush=True)
+
     def test_R2():
         with torch.no_grad():
             ls = softplus(raw_ls)
@@ -175,8 +206,11 @@ def main():
             err2 = (Yt - mean) ** 2
             return float((1 - err2.mean(0) / Yt.var(0)).mean())
 
-    traj, r2s = [], {}
+    traj, r2s = prev_traj, prev_r2s
     t0 = time.time()
+
+    def wall():
+        return round(wall_offset + time.time() - t0, 1)
 
     def dump(i):
         out = dict(
@@ -186,13 +220,22 @@ def main():
             neg_elbo_every10=traj,
             test_R2_checkpoints=r2s,
             mean_noise=round(float(torch.diagonal(task_cov()).mean()), 4),
-            wall_s=round(time.time() - t0, 1),
+            wall_s=wall(),
         )
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as f:
             json.dump(out, f)
+        if args.state:
+            with torch.no_grad():
+                torch.save(dict(params=[prm.detach().clone()
+                                        for prm in params],
+                                opt=opt.state_dict(),
+                                sched=sched.state_dict(), iter=i,
+                                traj=traj, r2s=r2s, wall_s=wall()),
+                           args.state + ".tmp")
+            os.replace(args.state + ".tmp", args.state)
 
-    for i in range(args.n_iter):
+    for i in range(start_iter, args.n_iter):
         opt.zero_grad()
         loss = -elbo()
         loss.backward()
