@@ -164,6 +164,9 @@ def main(argv=None):
                     help="default: 20000 for save, 15000 for continue")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--state", default="/tmp/plmc_state_20k.pkl")
+    ap.add_argument("--save-state", default=None,
+                    help="continue phase: pickle the END state here so the "
+                         "fp64 leg can itself be continued later")
     ap.add_argument("--out", default=None)
     ap.add_argument("--r2-every", type=int, default=500)
     ap.add_argument("--scan-steps", type=int, default=None)
@@ -242,9 +245,22 @@ def main(argv=None):
                 for s in flat_saved]
     opt_state = jax.tree_util.tree_unflatten(opt_def, restored)
 
-    train(model64, data, n_iter, schedule, out, t_offset_iter=start_iter,
-          opt_state=opt_state, r2_every=args.r2_every,
-          scan_steps=args.scan_steps or 8, tag="fp64-cont")
+    leaves, opt_state, _, _ = train(
+        model64, data, n_iter, schedule, out, t_offset_iter=start_iter,
+        opt_state=opt_state, r2_every=args.r2_every,
+        scan_steps=args.scan_steps or 8, tag="fp64-cont")
+    if args.save_state:
+        # end-state pickle so a later `continue --state <this>` extends the
+        # fp64 leg without redoing it (saved["n_iter"] = absolute iteration)
+        with open(args.save_state + ".tmp", "wb") as f:
+            pickle.dump(dict(
+                leaves=[np.asarray(x) for x in jax.tree_util.tree_leaves(
+                    leaves)],
+                opt_state=jax.tree_util.tree_map(np.asarray, opt_state),
+                n_iter=start_iter + n_iter, seed=args.seed), f)
+        os.replace(args.save_state + ".tmp", args.save_state)
+        print(f"saved fp64 end state at iter {start_iter + n_iter} -> "
+              f"{args.save_state}")
     return 0
 
 
