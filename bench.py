@@ -812,7 +812,8 @@ def _stage_main(argv):
         # Tunnel compile latency varies 3x between runs (measured: the same
         # ladder fit 9 items in 400 s one hour and 2 the next), so the order
         # is strict priority: headline spread -> sym-kernel stability ->
-        # n=2k -> n=20k stretch -> n=5k -> remaining extras.
+        # n=2k -> n=20k stretch -> predict p50 -> SVGP ELBO -> n=5k ->
+        # remaining extras.
         # headline config: >=3 timed repeats of the compiled program; the
         # headline value is the MEDIAN, spread carried alongside (the
         # tunneled chip shows ~4% run-to-run variance — PERF_NOTES)
@@ -843,6 +844,24 @@ def _stage_main(argv):
             except Exception as e:
                 print("RESULT", json.dumps(
                     {"stretch_inladder_error": repr(e)[:160]}), flush=True)
+        # north-star stages (VERDICT r4 item 5): predict p50 and the SVGP
+        # ELBO rate are BASELINE.md report-targets that two rounds of runs
+        # never reached behind the cholesky/pallas extras — they now run
+        # directly after the n=20k stretch, ahead of every extra.
+        if left() > 90:
+            try:
+                print("RESULT", json.dumps(
+                    {"plmc_sgpr_predict": bench_predict_p50()}), flush=True)
+            except Exception as e:
+                print("RESULT", json.dumps(
+                    {"predict_error": repr(e)[:160]}), flush=True)
+        if left() > 60:
+            try:
+                print("RESULT", json.dumps(
+                    {"svgp_elbo_iters_per_sec": bench_var_elbo()}), flush=True)
+            except Exception as e:
+                print("RESULT", json.dumps(
+                    {"svgp_error": repr(e)[:160]}), flush=True)
         if left() > 50:
             v = bench_exact_lmc(n=5000, T=7, q=4)
             print("RESULT", json.dumps({"n": 5000, "iters_per_sec": v}),
@@ -872,20 +891,6 @@ def _stage_main(argv):
             except Exception as e:
                 print("RESULT", json.dumps(
                     {"pallas_error": repr(e)[:160]}), flush=True)
-        if left() > 90:
-            try:
-                print("RESULT", json.dumps(
-                    {"plmc_sgpr_predict": bench_predict_p50()}), flush=True)
-            except Exception as e:
-                print("RESULT", json.dumps(
-                    {"predict_error": repr(e)[:160]}), flush=True)
-        if left() > 60:
-            try:
-                print("RESULT", json.dumps(
-                    {"svgp_elbo_iters_per_sec": bench_var_elbo()}), flush=True)
-            except Exception as e:
-                print("RESULT", json.dumps(
-                    {"svgp_error": repr(e)[:160]}), flush=True)
     elif kind == "stretch":
         # scale headroom beyond the headline config: the bf16 stack at
         # n=20k, q=4 is 3.2 GB — still single-chip HBM territory

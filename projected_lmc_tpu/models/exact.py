@@ -310,10 +310,24 @@ class ExactGPModel(Module):
                                           precision=_HIGHEST)[..., 0]
             s2 = cache["noise"][..., 0][:, None, None]
             V = solve_triangular(cache["Lc"], jnp.swapaxes(Rs, -1, -2), lower=True)
+            # Titsias predictive: kss − q_ss + σ²·R* cap⁻¹ R*ᵀ. The first
+            # two terms are the low-rank gap k(x*,x*) − diag(R* R*ᵀ),
+            # clipped ≥0 like the bound's trace term — WITHOUT it the
+            # variance is the degenerate subset-of-regressors one, which
+            # collapses to 0 far from the inducing points instead of
+            # reverting to the prior (the reference's InducingPointKernel
+            # carries the same diag correction — gpytorch
+            # inducing_point_kernel.py _covar_diag; found via
+            # diag_sarcos experiment 1, round 5).
+            kss_diag = self.covar_module(x_star, diag=True)   # (T, n*)
+            gap = jnp.clip(kss_diag - jnp.sum(Rs * Rs, axis=-1), min=0.0)
             if full_cov:
-                covar = s2 * jnp.matmul(jnp.swapaxes(V, -1, -2), V, precision=_HIGHEST)
+                covar = s2 * jnp.matmul(jnp.swapaxes(V, -1, -2), V,
+                                        precision=_HIGHEST) \
+                    + jax.vmap(jnp.diag)(gap)
                 return MultivariateNormal(mean, covar)
-            var = cache["noise"][..., 0][:, None] * jnp.sum(V * V, axis=-2)
+            var = cache["noise"][..., 0][:, None] * jnp.sum(V * V, axis=-2) \
+                + gap
             return _DiagMVN(mean, var)
         Ks = self.covar_module(self.train_x, x_star)     # (T, n, n*)
         mean = mean_star + jnp.einsum("tns,tn->ts", Ks, cache["alpha"],

@@ -508,12 +508,15 @@ class MultitaskGPModel(Module):
         mean_star = self.mean_module(x_star).T                  # (n*, T)
         if cache["kind"] == "sgpr":
             roots_star = self._nystrom_roots(x_star)            # (k, n*, m)
+            kss_star = self.covar_module(x_star, diag=True)     # (k, n*)
             if self.model_type == "ICM":
                 roots_star = jnp.broadcast_to(
                     roots_star[0], (self.n_tasks,) + roots_star[0].shape)
+                kss_star = jnp.broadcast_to(
+                    kss_star[0], (self.n_tasks,) + kss_star[0].shape)
             mean, var = wb_ops.lmc_sgpr_posterior(
                 roots_star, cache["fac"], cache["alpha"], mean_star,
-                noise=observed)
+                noise=observed, kss_star=kss_star)
             return _MeanVarMT(mean, var)
         if cache["kind"] == "lmc_iter":
             Kstars = self.covar_module(x_star, self.train_x)    # (q, n*, n)

@@ -107,7 +107,7 @@ def lmc_solve(Ydelta, fac):
 
 
 def lmc_sgpr_posterior(roots_star, fac, alpha, mean_star, noise: bool = True,
-                       chunk: int = 512):
+                       chunk: int = 512, kss_star=None):
     """Posterior (mean, var-diag) for the low-rank (Nyström) LMC/ICM model.
 
     With Σ_train = U Uᵀ + D (U = [R_b ⊗ h_b], D = I⊗Σt) and the same factors
@@ -120,6 +120,13 @@ def lmc_sgpr_posterior(roots_star, fac, alpha, mean_star, noise: bool = True,
     no n×n* cross-covariance ever materialized. Mean = U*(Uᵀ α).
 
     roots_star: (q, n*, m); alpha: (n, t) = Σ⁻¹ vec(Y) in matrix form.
+
+    kss_star (q, n*), if given, adds the low-rank diag gap
+    Σ_b clip(kss_b − diag(R*_b R*_bᵀ), 0)·H[t,b]² so the variance reverts to
+    the TRUE prior away from the inducing points instead of the degenerate
+    subset-of-regressors 0 (parity with the reference's InducingPointKernel
+    diag correction; see models/exact.py posterior for the single-task
+    analog — found via diag_sarcos experiment 1, round 5).
     """
     H, L_G, L_cap = fac["H"], fac["L_G"], fac["L_cap"]
     q, n_star, r = roots_star.shape
@@ -146,6 +153,10 @@ def lmc_sgpr_posterior(roots_star, fac, alpha, mean_star, noise: bool = True,
         Rp = jnp.pad(roots_star, ((0, 0), (0, pad), (0, 0)))
         blocks = jnp.moveaxis(Rp.reshape(q, -1, chunk, r), 1, 0)
         var = jax.lax.map(chunk_var, blocks).reshape(-1, t)[:n_star]
+    if kss_star is not None:
+        gap = jnp.clip(kss_star - jnp.sum(roots_star * roots_star, axis=-1),
+                       min=0.0)                         # (q, n*)
+        var = var + _mm(gap.T, (H * H).T)               # (n*, t)
     if noise:
         var = var + noise_diag[None, :]
     return mean, jnp.clip(var, min=1e-12)

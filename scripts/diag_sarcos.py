@@ -85,9 +85,21 @@ def fit_predict(name, X, Y, Xt, n_iter, eval_fn=None, eval_every=0):
 
 
 def dense_joint_posterior(model, X, Y, Xt):
-    """fp64 ground truth: joint GP with cov Sigma_b K_b (x) h_b h_b^T
-    + I_n (x) Sigma, Sigma reconstructed by full_likelihood's algebra
-    (projected_lmc.py:1023-1074); observed predictive variance."""
+    """fp64 SOLVE-path ground truth: joint GP with cov Sigma_b K_b (x)
+    h_b h_b^T + I_n (x) Sigma, Sigma reconstructed by full_likelihood's
+    algebra (projected_lmc.py:1023-1074); observed predictive variance.
+
+    Precision caveat (advisor r4): Ks/Kxs/kss come from
+    ``model.covar_module`` evaluated on the fp32 chip and are only CAST to
+    fp64 here, so experiment 1's rel-err floors include the fp32
+    kernel-evaluation error (~1e-7 relative), not just solve-path error.
+
+    NOTE this comparison is for the EXACT (q=p) PLMC — it is the dense
+    joint the projected predict path must reproduce. Round 5: running it
+    exposed the SGPR variance-collapse bug (models/exact.py posterior,
+    subset-of-regressors variance missing the kss − q_ss gap), fixed and
+    regression-tested in tests/test_models.py::TestSGPRPredictiveVariance;
+    see results/diag_sarcos.md."""
     import jax.numpy as jnp
     Ks = np.asarray(model.covar_module(jnp.asarray(X)), np.float64)
     Kxs = np.asarray(model.covar_module(jnp.asarray(Xt), jnp.asarray(X)),
@@ -173,10 +185,13 @@ def main(out="results/diag_sarcos.json"):
     model_s, mean_s, var_s, info_s = fit_predict(
         "PLMC", Xa[:ns], Ya[:ns], Xta[:nt], 500)
     mean_d, var_d = dense_joint_posterior(model_s, Xa[:ns], Ya[:ns], Xta[:nt])
+    # normalize the mean error by the TARGET scale (z-scored ⇒ ~1), not by
+    # max|mean_d|: an undertrained model predicts ~0 everywhere, and
+    # noise/noise normalization reported rel-err ~1 for two agreeing
+    # near-zero fields (round-5 fix); var stays relative to the prior scale
     out_d["experiment_1_path_correctness"] = dict(
         info_s,
-        mean_rel_err=float(np.abs(mean_s[:nt] - mean_d).max()
-                           / (np.abs(mean_d).max() + 1e-30)),
+        mean_abs_err_vs_ystd=float(np.abs(mean_s[:nt] - mean_d).max()),
         var_rel_err=float(np.abs(var_s[:nt] - var_d).max()
                           / (np.abs(var_d).max() + 1e-30)))
 

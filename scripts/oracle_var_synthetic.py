@@ -212,11 +212,21 @@ def main():
     def wall():
         return round(wall_offset + time.time() - t0, 1)
 
-    def dump(i):
+    def dump(i, steps_done=None):
+        """i labels the JSON checkpoint (loop index, unchanged vs committed
+        artifacts); steps_done is the COUNT of optimizer steps completed —
+        the in-loop dump fires after step i, so steps_done=i+1 there while
+        the post-loop dump passes n_iter. The state's `iter` stores
+        steps_done so resume (start_iter=ck['iter']) never replays a step
+        (advisor r4 medium: the old iter=i convention re-executed step i —
+        one extra Adam+scheduler step and a duplicate traj entry per
+        resume)."""
+        if steps_done is None:
+            steps_done = i
         out = dict(
             config=dict(n=n, p=p, q=q, m=m_ind, lik_rank=p,
                         jax_init_loss=568.46, seed=args.seed),
-            iters_done=i,
+            iters_done=steps_done,
             neg_elbo_every10=traj,
             test_R2_checkpoints=r2s,
             mean_noise=round(float(torch.diagonal(task_cov()).mean()), 4),
@@ -230,7 +240,7 @@ def main():
                 torch.save(dict(params=[prm.detach().clone()
                                         for prm in params],
                                 opt=opt.state_dict(),
-                                sched=sched.state_dict(), iter=i,
+                                sched=sched.state_dict(), iter=steps_done,
                                 traj=traj, r2s=r2s, wall_s=wall()),
                            args.state + ".tmp")
             os.replace(args.state + ".tmp", args.state)
@@ -245,7 +255,7 @@ def main():
             traj.append(round(float(loss), 5))
         if i % args.checkpoint_every == 0:
             r2s[str(i)] = round(test_R2(), 4)
-            dump(i)
+            dump(i, steps_done=i + 1)
             print(f"iter {i}: -elbo/n {float(loss):.4f} R2 {r2s[str(i)]:.4f} "
                   f"noise {float(torch.diagonal(task_cov()).mean()):.3f} "
                   f"({time.time()-t0:.0f}s)", flush=True)

@@ -70,7 +70,11 @@ def make_opt(ptree_paths, schedule):
 
 
 def train(model, data, n_iter, schedule, out, t_offset_iter=0,
-          opt_state=None, r2_every=500, scan_steps=None, tag=""):
+          opt_state=None, r2_every=500, scan_steps=None, tag="",
+          state_dump=None):
+    """state_dump, if given, is called as state_dump(leaves, opt_state,
+    abs_iter) at every in-loop snapshot — lets the caller keep a resumable
+    pickle current so a killed run loses at most r2_every iterations."""
     import jax
     import optax
     from projected_lmc_tpu.mlls import projected_lmc_mll
@@ -143,18 +147,26 @@ def train(model, data, n_iter, schedule, out, t_offset_iter=0,
     t0 = time.time()
     i = 0
     snapshot(t_offset_iter)
+    last_snap = t_offset_iter
     while i < n_iter:
         leaves, opt_state, key, losses = multi_step(leaves, opt_state, key)
         i += scan_steps
         if i % r2_every < scan_steps:
             snapshot(t_offset_iter + i)
-    snapshot(t_offset_iter + i)
+            last_snap = t_offset_iter + i
+            if state_dump is not None:
+                state_dump(leaves, opt_state, t_offset_iter + i)
+    if last_snap != t_offset_iter + i:
+        snapshot(t_offset_iter + i)
     state["final_loss"] = float(np.asarray(losses)[-1])
     state["train_time_s"] = round(time.time() - t0, 1)
     with open(out + ".tmp", "w") as f:
         json.dump(state, f, indent=1)
     os.replace(out + ".tmp", out)
-    return leaves, opt_state, ptreedef, static
+    # t_offset_iter + i is the ABSOLUTE iteration actually reached (the while
+    # loop overshoots to a scan_steps multiple when scan_steps ∤ n_iter) —
+    # callers must label end-state pickles with it, not with n_iter.
+    return leaves, opt_state, ptreedef, static, t_offset_iter + i
 
 
 def main(argv=None):
@@ -198,7 +210,7 @@ def main(argv=None):
     if args.phase == "save":
         n_iter = args.n_iter or 20000
         out = args.out or "results/plmc_continuation_fp32_leg.json"
-        leaves, opt_state, _, _ = train(
+        leaves, opt_state, _, _, iter_reached = train(
             model, data, n_iter, schedule, out,
             scan_steps=args.scan_steps, tag="fp32-save")
         with open(args.state, "wb") as f:
@@ -206,8 +218,8 @@ def main(argv=None):
                 leaves=[np.asarray(x) for x in jax.tree_util.tree_leaves(
                     leaves)],
                 opt_state=jax.tree_util.tree_map(np.asarray, opt_state),
-                n_iter=n_iter, seed=args.seed), f)
-        print(f"saved state after {n_iter} iters -> {args.state}")
+                n_iter=iter_reached, seed=args.seed), f)
+        print(f"saved state after {iter_reached} iters -> {args.state}")
         return 0
 
     # continue: swap saved leaves into the fp64 template
@@ -245,21 +257,34 @@ def main(argv=None):
                 for s in flat_saved]
     opt_state = jax.tree_util.tree_unflatten(opt_def, restored)
 
-    leaves, opt_state, _, _ = train(
+    def dump_state(lvs, ost, abs_iter, _path=args.save_state):
+        if not _path:
+            return
+        with open(_path + ".tmp", "wb") as f:
+            pickle.dump(dict(
+                leaves=[np.asarray(x)
+                        for x in jax.tree_util.tree_leaves(lvs)],
+                opt_state=jax.tree_util.tree_map(np.asarray, ost),
+                n_iter=abs_iter, seed=args.seed), f)
+        os.replace(_path + ".tmp", _path)
+
+    leaves, opt_state, _, _, iter_reached = train(
         model64, data, n_iter, schedule, out, t_offset_iter=start_iter,
         opt_state=opt_state, r2_every=args.r2_every,
-        scan_steps=args.scan_steps or 8, tag="fp64-cont")
+        scan_steps=args.scan_steps or 8, tag="fp64-cont",
+        state_dump=dump_state)
     if args.save_state:
         # end-state pickle so a later `continue --state <this>` extends the
-        # fp64 leg without redoing it (saved["n_iter"] = absolute iteration)
+        # fp64 leg without redoing it (saved["n_iter"] = absolute iteration
+        # actually reached, accounting for scan_steps overshoot)
         with open(args.save_state + ".tmp", "wb") as f:
             pickle.dump(dict(
                 leaves=[np.asarray(x) for x in jax.tree_util.tree_leaves(
                     leaves)],
                 opt_state=jax.tree_util.tree_map(np.asarray, opt_state),
-                n_iter=start_iter + n_iter, seed=args.seed), f)
+                n_iter=iter_reached, seed=args.seed), f)
         os.replace(args.save_state + ".tmp", args.save_state)
-        print(f"saved fp64 end state at iter {start_iter + n_iter} -> "
+        print(f"saved fp64 end state at iter {iter_reached} -> "
               f"{args.save_state}")
     return 0
 

@@ -173,9 +173,12 @@ def aggregate(args):
         cfg = dict(DEFAULT_PARAMS)
         if v_test in cfg and value == value and value is not None:
             cfg[v_test] = value
+        # read q_guess/q_noise_guess from cfg AFTER the swept value is
+        # applied, so sweeps over those columns export the swept value
+        # rather than the default (advisor r4)
         cfg_cols = dict(model=model, n=cfg["n"], p=cfg["p"], q=cfg["q"],
-                        q_guess=cfg["q"], q_noise=cfg["q_noise"],
-                        q_noise_guess=cfg["q_noise"],
+                        q_guess=cfg["q_guess"], q_noise=cfg["q_noise"],
+                        q_noise_guess=cfg["q_noise_guess"],
                         mu_noise=cfg["mu_noise"], mu_str=cfg["mu_str"],
                         max_scale=cfg["max_scale"], void=0.0)
         ref_rows[label] = dict(g[metric_cols].mean().to_dict(), **cfg_cols,

@@ -232,6 +232,26 @@ def main():
     out["krs_edge_rel_err"] = err_edge
     ok &= err_edge <= 2e-2 and np.isfinite(err_edge)
 
+    # QR-precision regression check on the REAL chip (VERDICT r4 item 7):
+    # CPU tests cannot observe the TPU matmul default, so this is the one
+    # place the round-4 fix (models/projected.py QR under
+    # default_matmul_precision("highest")) is verified on hardware. Without
+    # the fix, bf16-grade passes give ortho_err ~1e-3; with it, ~1e-7.
+    p_mix, q_mix = 25, 8
+    rng = np.random.default_rng(0)
+    H0 = jnp.asarray(np.linalg.qr(rng.standard_normal((p_mix, p_mix)))[0]
+                     @ np.diag(np.linspace(2.0, 0.1, p_mix)), jnp.float32)
+    from projected_lmc_tpu.models.projected import LMCMixingMatrix
+    mix = LMCMixingMatrix(H0, jnp.eye(q_mix, dtype=jnp.float32)[:q_mix],
+                          bulk=True)
+    Qm, _, Qo = jax.jit(lambda m: m.QR())(mix)
+    qr_err = float(jnp.abs(Qm.T @ Qm - jnp.eye(Qm.shape[1])).max())
+    if Qo is not None:
+        qr_err = max(qr_err, float(jnp.abs(Qm.T @ Qo).max()))
+    out["qr_ortho_err_onchip"] = qr_err
+    out["qr_ortho_ok"] = bool(qr_err < 1e-5)
+    ok &= qr_err < 1e-5
+
     out["parity_ok"] = bool(ok)  # np.isfinite makes `ok` an np.bool_
     print(json.dumps(out))
     return 0 if ok else 1

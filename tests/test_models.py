@@ -888,5 +888,152 @@ class TestTwoPhaseFit:
         assert mll_two > mll_phase1, (mll_two, mll_phase1)
 
 
+class TestSGPRPredictiveVariance:
+    """Regression tests for the round-5 SGPR variance-collapse fix: the
+    predictive variance must follow the Titsias posterior
+    kss − q_ss + σ²·diag(R* cap⁻¹ R*ᵀ), NOT the degenerate
+    subset-of-regressors σ²·diag(R* cap⁻¹ R*ᵀ) alone, which collapses to 0
+    far from the inducing points (reference parity: gpytorch
+    InducingPointKernel's _covar_diag correction; found via diag_sarcos
+    experiment 1 — temporal-split SARCOS test points are far from train, so
+    the shipped alpha_CI was computed with near-zero GP variance)."""
+
+    def _exact_sgpr(self, n=40, m_ind=12, noise=0.05, seed=0):
+        rng = np.random.default_rng(seed)
+        X = rng.uniform(-1, 1, (n, 1))
+        y = np.sin(3 * X[:, 0]) + noise * rng.standard_normal(n)
+        lik = pl.GaussianLikelihood(batch_shape=1, noise_init=noise)
+        return pl.ExactGPModel(X, y, lik, n_tasks=1, kernel_type="rbf",
+                               mean_type="zero", n_inducing_points=m_ind)
+
+    def test_far_point_reverts_to_prior(self):
+        m = self._exact_sgpr()
+        X_far = np.array([[50.0], [-75.0]])   # many lengthscales away
+        post = m.posterior(X_far, full_cov=False)
+        kss = np.asarray(m.covar_module(jnp.asarray(X_far), diag=True))
+        np.testing.assert_allclose(np.asarray(post.variance), kss,
+                                   rtol=1e-4)
+
+    def test_matches_dense_titsias_posterior(self):
+        """Exact parity with the dense Titsias q(f*) across near AND far
+        test points, fp64 numpy reference."""
+        m = self._exact_sgpr()
+        Xs = np.concatenate([np.linspace(-1.2, 1.2, 7)[:, None],
+                             np.array([[8.0], [30.0]])])
+        R = np.asarray(m._low_rank_root(m.train_x), np.float64)[0]
+        Rs = np.asarray(m._low_rank_root(jnp.asarray(Xs)), np.float64)[0]
+        s2 = float(m.likelihood.noise[0, 0])
+        cap = R.T @ R + s2 * np.eye(R.shape[1])
+        kss = np.asarray(m.covar_module(jnp.asarray(Xs), diag=True),
+                         np.float64)[0]
+        want_var = (kss - np.einsum("ij,ij->i", Rs, Rs)
+                    + s2 * np.einsum("ij,ij->i", Rs,
+                                     np.linalg.solve(cap, Rs.T).T))
+        delta = np.asarray(m.train_y, np.float64)
+        want_mean = Rs @ np.linalg.solve(cap, R.T @ delta[0])
+        post = m.posterior(jnp.asarray(Xs), full_cov=False)
+        np.testing.assert_allclose(np.asarray(post.mean)[0], want_mean,
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(post.variance)[0], want_var,
+                                   rtol=1e-4, atol=1e-6)
+        # full_cov diagonal agrees with the diag path
+        post_fc = m.posterior(jnp.asarray(Xs), full_cov=True)
+        np.testing.assert_allclose(
+            np.asarray(jnp.diagonal(post_fc.covariance_matrix, axis1=-2,
+                                    axis2=-1))[0],
+            np.asarray(post.variance)[0], rtol=1e-4, atol=1e-6)
+
+    @pytest.mark.parametrize("model_type", ["ICM", "LMC"])
+    def test_multitask_sgpr_far_point_prior(self, model_type):
+        X, Y, _, _ = make_data(n=40, p=3, q=2)
+        lik = pl.MultitaskGaussianLikelihood(num_tasks=3, rank=0)
+        m = pl.MultitaskGPModel(X, Y, lik, n_tasks=3, n_latents=2,
+                                model_type=model_type, n_inducing_points=10)
+        X_far = np.full((2, X.shape[1]), 60.0)
+        post = m.posterior(jnp.asarray(X_far), observed=True)
+        kss = np.asarray(m.covar_module(jnp.asarray(X_far), diag=True),
+                         np.float64)                      # (k, 2)
+        if model_type == "ICM":
+            B = np.asarray(m.task_covar_matrix(), np.float64)
+            prior = kss[0][:, None] * np.diag(B)[None, :]
+            noise_diag = np.diag(np.asarray(
+                m.likelihood.task_covariance(), np.float64))
+        else:
+            H = np.asarray(m.covar_factor[..., 0].T, np.float64)  # (T, q)
+            prior = kss.T @ (H ** 2).T
+            # the LMC's effective noise carries the extra per-task diagonal
+            # (same St_eff as _sgpr_structure)
+            noise_diag = np.diag(np.asarray(
+                m.likelihood.task_covariance(), np.float64)) + \
+                np.asarray(m._lmc_extra_diag(), np.float64)
+        prior = prior + noise_diag[None, :]
+        np.testing.assert_allclose(np.asarray(post.variance), prior,
+                                   rtol=2e-3)
+
+
+class TestQRPrecisionGuard:
+    """Regression guard for the round-4 TPU correctness fix (VERDICT r4
+    item 7): ``LMCMixingMatrix.QR`` in bulk mode MUST run its QR under
+    ``jax.default_matmul_precision("highest")``. On TPU the default matmul
+    precision is bf16-grade; the resulting ~1e-3 Q-orthogonality error feeds
+    Q⊥ into the B̃ noise terms every step and was measured to cost the
+    full-B̃ PLMC its long-horizon test R² (0.938 vs the torch-fp64 oracle's
+    0.980 at 40k — results/plmc_trajectory_jax*.json). CPU tests cannot see
+    the TPU default, so the guard asserts the context manager itself is
+    entered — removing it breaks this test on any backend."""
+
+    def _mixing(self, p=6, q=3, mode="Q_plus"):
+        rng = np.random.default_rng(0)
+        A = rng.standard_normal((p, p))
+        Qf, _ = np.linalg.qr(A)
+        Q_plus = Qf if mode == "Q_plus" else Qf[:, :q]
+        R = np.triu(rng.standard_normal((q, q))) + 2 * np.eye(q)
+        from projected_lmc_tpu.models.projected import LMCMixingMatrix
+        return LMCMixingMatrix(jnp.asarray(Q_plus), jnp.asarray(R), bulk=True)
+
+    @pytest.mark.parametrize("mode", ["Q_plus", "Q"])
+    def test_bulk_qr_enters_highest_precision(self, monkeypatch, mode):
+        entered = []
+        orig = jax.default_matmul_precision
+
+        def spy(precision):
+            entered.append(precision)
+            return orig(precision)
+
+        monkeypatch.setattr(jax, "default_matmul_precision", spy)
+        mix = self._mixing(mode=mode)
+        Q, R, Q_orth = mix.QR()
+        assert entered == ["highest"], entered
+        # and the decomposition it returns is actually orthogonal
+        err = float(jnp.abs(Q.T @ Q - jnp.eye(Q.shape[1])).max())
+        assert err < 1e-6, err
+        if mode == "Q_plus":
+            assert Q_orth is not None
+            cross = float(jnp.abs(Q.T @ Q_orth).max())
+            assert cross < 1e-6, cross
+
+    def test_guard_survives_jit_trace(self, monkeypatch):
+        """The QR runs inside the jitted training step; the context manager
+        must wrap the TRACE of the qr primitive (precision is baked into the
+        lowered program at trace time)."""
+        entered = []
+        orig = jax.default_matmul_precision
+
+        def spy(precision):
+            entered.append(precision)
+            return orig(precision)
+
+        monkeypatch.setattr(jax, "default_matmul_precision", spy)
+        mix = self._mixing()
+
+        @jax.jit
+        def get_q(m):
+            Q, _, _ = m.QR()
+            return Q
+
+        get_q(mix)
+        assert "highest" in entered, entered
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
