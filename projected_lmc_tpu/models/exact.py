@@ -76,7 +76,7 @@ class ExactGPModel(Module):
                  n_tasks: int = 1, prior_scales=None, prior_width=None,
                  mean_type="constant", decomp=None, outputscales: bool = False,
                  kernel_type="rbf", ker_kwargs=None, n_inducing_points=None,
-                 seed: int = 0, **kwargs):
+                 seed: int = 0, sgpr_titsias_var: bool = True, **kwargs):
         train_x = jnp.asarray(train_x)
         if train_x.ndim == 1:
             train_x = train_x[:, None]
@@ -103,6 +103,10 @@ class ExactGPModel(Module):
                 rng.standard_normal((int(n_inducing_points), self.dim)), dtype)
         else:
             self.inducing_points = None
+        # Titsias predictive variance (kss − q_ss gap added) vs the
+        # reference's degenerate SoR variance — see posterior(); flag kept
+        # so parity studies can reproduce the reference's collapse.
+        self.sgpr_titsias_var = bool(sgpr_titsias_var)
 
     # -- basic quantities ----------------------------------------------------
     @property
@@ -315,12 +319,19 @@ class ExactGPModel(Module):
             # clipped ≥0 like the bound's trace term — WITHOUT it the
             # variance is the degenerate subset-of-regressors one, which
             # collapses to 0 far from the inducing points instead of
-            # reverting to the prior (the reference's InducingPointKernel
-            # carries the same diag correction — gpytorch
-            # inducing_point_kernel.py _covar_diag; found via
-            # diag_sarcos experiment 1, round 5).
-            kss_diag = self.covar_module(x_star, diag=True)   # (T, n*)
-            gap = jnp.clip(kss_diag - jnp.sum(Rs * Rs, axis=-1), min=0.0)
+            # reverting to the prior. NOTE this is a flagged IMPROVEMENT
+            # over the reference: gpytorch's InducingPointKernel applies
+            # the kss−qss correction only in the training loss
+            # (InducingPointKernelAddedLossTerm), so the reference's
+            # predictive variance collapses too (diag_ship_icm.md exp 2;
+            # found via diag_sarcos experiment 1, round 5). Set
+            # sgpr_titsias_var=False to reproduce the reference's SoR
+            # behavior in parity studies.
+            if self.sgpr_titsias_var:
+                kss_diag = self.covar_module(x_star, diag=True)  # (T, n*)
+                gap = jnp.clip(kss_diag - jnp.sum(Rs * Rs, axis=-1), min=0.0)
+            else:
+                gap = jnp.zeros(Rs.shape[:-1], Rs.dtype)
             if full_cov:
                 covar = s2 * jnp.matmul(jnp.swapaxes(V, -1, -2), V,
                                         precision=_HIGHEST) \

@@ -80,7 +80,8 @@ class MultitaskGPModel(Module):
                  init_lmc_coeffs: bool = True, fix_diagonal: bool = False,
                  mean_type="constant", kernel_type="rbf", decomp=None,
                  prior_scales=None, prior_width=None, ker_kwargs=None,
-                 n_inducing_points=None, seed: int = 0, **kwargs):
+                 n_inducing_points=None, seed: int = 0,
+                 sgpr_titsias_var: bool = True, **kwargs):
         if model_type not in ("ICM", "LMC"):
             raise ValueError("Wrong specified model type, should be ICM or LMC")
         train_x = jnp.asarray(train_x)
@@ -146,6 +147,9 @@ class MultitaskGPModel(Module):
                 rng.standard_normal((int(n_inducing_points), self.dim)), dtype)
         else:
             self.inducing_points = None
+        # Titsias predictive variance vs the reference's degenerate SoR one
+        # (see models/exact.py posterior note; flag for parity studies)
+        self.sgpr_titsias_var = bool(sgpr_titsias_var)
 
     # -- SGPR (Titsias inducing-point) machinery ---------------------------------
     @property
@@ -508,12 +512,14 @@ class MultitaskGPModel(Module):
         mean_star = self.mean_module(x_star).T                  # (n*, T)
         if cache["kind"] == "sgpr":
             roots_star = self._nystrom_roots(x_star)            # (k, n*, m)
-            kss_star = self.covar_module(x_star, diag=True)     # (k, n*)
+            kss_star = (self.covar_module(x_star, diag=True)    # (k, n*)
+                        if self.sgpr_titsias_var else None)
             if self.model_type == "ICM":
                 roots_star = jnp.broadcast_to(
                     roots_star[0], (self.n_tasks,) + roots_star[0].shape)
-                kss_star = jnp.broadcast_to(
-                    kss_star[0], (self.n_tasks,) + kss_star[0].shape)
+                if kss_star is not None:
+                    kss_star = jnp.broadcast_to(
+                        kss_star[0], (self.n_tasks,) + kss_star[0].shape)
             mean, var = wb_ops.lmc_sgpr_posterior(
                 roots_star, cache["fac"], cache["alpha"], mean_star,
                 noise=observed, kss_star=kss_star)

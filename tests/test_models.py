@@ -890,13 +890,15 @@ class TestTwoPhaseFit:
 
 class TestSGPRPredictiveVariance:
     """Regression tests for the round-5 SGPR variance-collapse fix: the
-    predictive variance must follow the Titsias posterior
-    kss − q_ss + σ²·diag(R* cap⁻¹ R*ᵀ), NOT the degenerate
-    subset-of-regressors σ²·diag(R* cap⁻¹ R*ᵀ) alone, which collapses to 0
-    far from the inducing points (reference parity: gpytorch
-    InducingPointKernel's _covar_diag correction; found via diag_sarcos
-    experiment 1 — temporal-split SARCOS test points are far from train, so
-    the shipped alpha_CI was computed with near-zero GP variance)."""
+    predictive variance follows the Titsias posterior
+    kss − q_ss + σ²·diag(R* cap⁻¹ R*ᵀ) by default, NOT the degenerate
+    subset-of-regressors variance, which collapses to 0 far from the
+    inducing points. This is a flagged improvement over the reference
+    (gpytorch's InducingPointKernel corrects only the training loss, so its
+    predictive variance collapses too); sgpr_titsias_var=False reproduces
+    the reference's SoR behavior. Found via diag_sarcos experiment 1 —
+    temporal-split SARCOS test points are far from train, so the shipped
+    alpha_CI was computed with near-zero GP variance."""
 
     def _exact_sgpr(self, n=40, m_ind=12, noise=0.05, seed=0):
         rng = np.random.default_rng(seed)
@@ -913,6 +915,19 @@ class TestSGPRPredictiveVariance:
         kss = np.asarray(m.covar_module(jnp.asarray(X_far), diag=True))
         np.testing.assert_allclose(np.asarray(post.variance), kss,
                                    rtol=1e-4)
+
+    def test_parity_flag_reproduces_sor_collapse(self):
+        """sgpr_titsias_var=False gives the reference's degenerate SoR
+        variance: ~0 far from the inducing points."""
+        rng = np.random.default_rng(0)
+        X = rng.uniform(-1, 1, (40, 1))
+        y = np.sin(3 * X[:, 0])
+        lik = pl.GaussianLikelihood(batch_shape=1, noise_init=0.05)
+        m = pl.ExactGPModel(X, y, lik, n_tasks=1, kernel_type="rbf",
+                            mean_type="zero", n_inducing_points=12,
+                            sgpr_titsias_var=False)
+        post = m.posterior(np.array([[50.0]]), full_cov=False)
+        assert float(np.asarray(post.variance).max()) < 1e-6
 
     def test_matches_dense_titsias_posterior(self):
         """Exact parity with the dense Titsias q(f*) across near AND far
