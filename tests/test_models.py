@@ -375,13 +375,18 @@ class TestMultitaskSGPR:
             np.testing.assert_allclose(float(m.mll()), expected, rtol=1e-6)
 
     def test_sgpr_posterior_matches_dense_nystrom(self):
-        """Posterior mean/var from the capacitance identity == brute force."""
+        """Posterior mean/var from the capacitance identity == brute force.
+
+        sgpr_titsias_var=False pins the pure subset-of-regressors identity
+        the dense-Nyström oracle below encodes; the default (True) must add
+        exactly the Σ_b clip(kss_b − q_ss_b, 0)·H[:,b]² diag gap on top
+        (Titsias variance — see TestSGPRPredictiveVariance)."""
         X, Y, _, _ = make_data(n=30, p=3, q=2)
         Xs = np.linspace(-1, 1, 9)[:, None]
         lik = pl.MultitaskGaussianLikelihood(num_tasks=3, rank=0)
         m = pl.MultitaskGPModel(X, Y, lik, n_tasks=3, n_latents=2,
                                 model_type="LMC", n_inducing_points=8,
-                                fix_diagonal=True)
+                                fix_diagonal=True, sgpr_titsias_var=False)
         pred = m.posterior(jnp.asarray(Xs), observed=True)
         n, t = 30, 3
         roots, H_eff, St_eff, _ = m._sgpr_structure(m.train_x)
@@ -407,6 +412,20 @@ class TestMultitaskSGPR:
         exp_var = np.diag(exp_cov).reshape(9, t) + np.diag(np.asarray(St_eff))[None, :]
         np.testing.assert_allclose(np.asarray(pred.mean), exp_mean, atol=1e-6)
         np.testing.assert_allclose(np.asarray(pred.variance), exp_var,
+                                   rtol=1e-5, atol=1e-8)
+        # default flag: same mean, variance = SoR + the Titsias diag gap
+        m_tit = pl.MultitaskGPModel(X, Y, lik, n_tasks=3, n_latents=2,
+                                    model_type="LMC", n_inducing_points=8,
+                                    fix_diagonal=True)
+        pred_tit = m_tit.posterior(jnp.asarray(Xs), observed=True)
+        kss = np.asarray(m_tit.covar_module(jnp.asarray(Xs), diag=True))
+        qss = np.einsum("bik,bik->bi", np.asarray(roots_s),
+                        np.asarray(roots_s))
+        gap = np.clip(kss - qss, 0.0, None)                    # (q, 9)
+        exp_var_tit = exp_var + gap.T @ (Hn * Hn).T
+        np.testing.assert_allclose(np.asarray(pred_tit.mean), exp_mean,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pred_tit.variance), exp_var_tit,
                                    rtol=1e-5, atol=1e-8)
 
     def test_iterative_lmc_posterior_conservative(self):
