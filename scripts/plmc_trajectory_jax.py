@@ -37,6 +37,15 @@ def main(argv=None):
     ap.add_argument("--x64", action="store_true",
                     help="fp64 (CPU) — the precision-ladder top rung, "
                          "comparable to the torch-fp64 oracle")
+    ap.add_argument("--noise-thresh", type=float, default=None,
+                    help="override the projected-noise floor exp(thresh) "
+                         "(reference default −9, projected_lmc.py:920-921). "
+                         "Mitigation probe for the >30k fp32 runaway: the "
+                         "anatomy shows sigma_p PINNED at exp(−9) while "
+                         "‖M‖_F grows — (sigma_p, M) enter the training "
+                         "objective only as the product sigma_p·M "
+                         "(project_data cross term), so the floor creates "
+                         "the degenerate direction the runaway rides")
     ap.add_argument("--out", default="results/plmc_trajectory_jax.json")
     args = ap.parse_args(argv)
 
@@ -69,8 +78,17 @@ def main(argv=None):
         n=v["n"], p=v["p"], q=v["q"], q_noise=v["q_noise"],
         mu_noise=v["mu_noise"], mu_str=v["mu_str"], max_scale=v["max_scale"],
         n_test=2500, seed=args.seed)
-    model = build_models(data["X"], data["Y"], v["q"], v["p"], ["PLMC"],
-                         seed=args.seed)["PLMC"]
+    if args.noise_thresh is not None:
+        from projected_lmc_tpu.experiments.driver import MODEL_CONFIGS
+        from projected_lmc_tpu.models.projected import ProjectedGPModel
+        model = ProjectedGPModel(
+            data["X"], data["Y"], v["p"], v["q"], proj_likelihood=None,
+            init_lmc_coeffs=True, mean_type="zero", kernel_type="matern",
+            noise_thresh=args.noise_thresh, seed=args.seed,
+            **MODEL_CONFIGS["PLMC"])
+    else:
+        model = build_models(data["X"], data["Y"], v["q"], v["p"], ["PLMC"],
+                             seed=args.seed)["PLMC"]
     Yt = np.asarray(data["Y_test"], np.float64)
     var_t = Yt.var(axis=0, ddof=1)
 
@@ -80,6 +98,7 @@ def main(argv=None):
                              matmul_precision=args.matmul_precision
                              or "default",
                              x64=bool(args.x64),
+                             noise_thresh=args.noise_thresh,
                              backend=jax.default_backend()),
                  r2_trajectory=[], loss_checkpoints=[])
     t0 = time.time()
