@@ -245,9 +245,14 @@ def main():
     mix = LMCMixingMatrix(H0, jnp.eye(q_mix, dtype=jnp.float32)[:q_mix],
                           bulk=True)
     Qm, _, Qo = jax.jit(lambda m: m.QR())(mix)
-    qr_err = float(jnp.abs(Qm.T @ Qm - jnp.eye(Qm.shape[1])).max())
+    # measure in host fp64: an on-device Q^T Q itself runs at the TPU's
+    # bf16-grade default and would report ~1e-3 for a perfect Q (the first
+    # chip run of this check tripped exactly that)
+    Qn = np.asarray(Qm, np.float64)
+    qr_err = float(np.abs(Qn.T @ Qn - np.eye(Qn.shape[1])).max())
     if Qo is not None:
-        qr_err = max(qr_err, float(jnp.abs(Qm.T @ Qo).max()))
+        qr_err = max(qr_err, float(np.abs(
+            Qn.T @ np.asarray(Qo, np.float64)).max()))
     out["qr_ortho_err_onchip"] = qr_err
     out["qr_ortho_ok"] = bool(qr_err < 1e-5)
     ok &= qr_err < 1e-5
