@@ -229,10 +229,22 @@ def _sync(tree):
     float(jnp.sum(leaves[0].ravel()[0]))
 
 
-def bench_exact_lmc(n=10000, T=7, q=4, seed=0, steps=8, reps=2,
+def bench_exact_lmc(n=10000, T=7, q=4, seed=0, steps=16, reps=2,
                     measurements=1):
     """Full training-step throughput: value_and_grad(MLL) + AdamW, ``steps``
     fused per dispatch via lax.scan with per-step probe redraw.
+
+    ``steps=16`` since round 5: the Nyström preconditioner roots are
+    rebuilt once per chunk (~13% of an 8-step chunk on a v5e), so 16-step
+    chunks halve that amortized cost — measured 46.9 -> 54.8 it/s median
+    at n=10k and 10.9 -> 14.8 at n=20k (scripts/probe_headline_config.py,
+    results/probe_headline_config.json, results/probe_n20k_chunk.json;
+    rank 192 vs 256 measured neutral). Trajectory quality at the staler
+    refresh cadence: 64-step overlay vs the tight fp32 SLQ reference
+    gives mean rel loss gap 5.6% / max 19.5%
+    (results/trajectory_overlay_chunk16.json) vs 3.5%/11.3% for the
+    historical 10-step-chunk 50-step overlay — the same bf16-floor
+    envelope class, tail-dominated (results/PERF_NOTES.md round 5).
 
     ``measurements`` > 1 repeats the timed section that many times on the
     same compiled program and returns the list (run-to-run spread of the
@@ -838,7 +850,7 @@ def _stage_main(argv):
                   flush=True)
         if left() > 110:
             try:
-                v = bench_exact_lmc(n=20000, T=7, q=4, steps=4, reps=2)
+                v = bench_exact_lmc(n=20000, T=7, q=4, steps=16, reps=2)
                 print("RESULT", json.dumps(
                     {"n": 20000, "iters_per_sec": v}), flush=True)
             except Exception as e:
@@ -894,7 +906,7 @@ def _stage_main(argv):
     elif kind == "stretch":
         # scale headroom beyond the headline config: the bf16 stack at
         # n=20k, q=4 is 3.2 GB — still single-chip HBM territory
-        v = bench_exact_lmc(n=20000, T=7, q=4, steps=4, reps=2)
+        v = bench_exact_lmc(n=20000, T=7, q=4, steps=16, reps=2)
         print("RESULT", json.dumps({"n": 20000, "iters_per_sec": v}),
               flush=True)
     elif kind == "lmc":

@@ -126,8 +126,8 @@ def main(n=10000, T=7, q=4, d=4, steps=50, chunk=10, seed=0,
     scale = np.maximum(np.abs(ts), 1e-10)
     rel_gap = np.abs(tb - ts) / scale
     result = {
-        "config": dict(n=n, T=T, q=q, d=d, steps=steps, seed=seed,
-                       dataset=dataset,
+        "config": dict(n=n, T=T, q=q, d=d, steps=steps, chunk=chunk,
+                       seed=seed, dataset=dataset,
                        bench=bench_kwargs, slq_ref=slq_kwargs),
         "loss_bench": traj_b,
         "loss_slq_fp32": traj_s,
@@ -150,9 +150,14 @@ if __name__ == "__main__":
     ap.add_argument("--dataset", default="synthetic",
                     choices=["synthetic", "tidal", "ship"])
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--chunk", type=int, default=10,
+                    help="optimizer steps per scan chunk = preconditioner "
+                         "refresh cadence (the round-5 headline moves the "
+                         "bench to 16-step chunks; this validates the "
+                         "staler-roots trajectory at that cadence)")
     ap.add_argument("--out", default=None)
     a = ap.parse_args()
     out = a.out or ("results/trajectory_overlay.json"
                     if a.dataset == "synthetic"
                     else f"results/trajectory_overlay_{a.dataset}.json")
-    main(dataset=a.dataset, steps=a.steps, out=out)
+    main(dataset=a.dataset, steps=a.steps, chunk=a.chunk, out=out)
